@@ -1,0 +1,123 @@
+"""Unified CLI — replaces the reference's per-model scripts + start.sh.
+
+    python -m sessionrec_tpu.cli train --model msgifsr --dataset-dir datasets/sample --order 1
+    python -m sessionrec_tpu.cli preprocess --dataset diginetica --input train-item-views.csv --output-dir datasets/diginetica
+
+Flag surface and defaults reproduce the reference scripts
+(main_lessr.py / main_niser.py / main_msgifsr.py; see utils/config.py).
+All four models are runnable (the reference's dispatcher references a
+missing main_srgnn.py, start.sh:6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_train_flags(p):
+    p.add_argument("--model", required=True,
+                   choices=["srgnn", "niser", "lessr", "msgifsr"])
+    p.add_argument("--dataset-dir", default="datasets/sample")
+    p.add_argument("--embedding-dim", type=int, default=None)
+    p.add_argument("--num-layers", type=int, default=None)
+    p.add_argument("--feat-drop", type=float, default=None)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--patience", type=int, default=None)
+    p.add_argument("--valid-split", type=float, default=None)
+    p.add_argument("--log-interval", type=int, default=100)
+    p.add_argument("--order", type=int, default=None, help="MSGIFSR order")
+    p.add_argument("--reducer", default=None, choices=["mean", "max", "concat"])
+    p.add_argument("--no-norm", action="store_true")
+    p.add_argument("--extra", action="store_true", help="MSGIFSR REnorm")
+    p.add_argument("--fusion", action="store_true", help="MSGIFSR IFR")
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--shuffle", action="store_true", default=None)
+    p.add_argument("--no-shuffle", dest="shuffle", action="store_false")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--data-parallel", type=int, default=1)
+    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--max-epoch-batches", type=int, default=None,
+                   help="cap batches per epoch (smoke runs)")
+
+
+def build_config(args):
+    from sessionrec_tpu.utils.config import preset
+    cfg = preset(args.model)
+    m, d, t = cfg.model, cfg.data, cfg.train
+    if args.embedding_dim is not None:
+        m.embedding_dim = args.embedding_dim
+    if args.num_layers is not None:
+        m.num_layers = args.num_layers
+    if args.feat_drop is not None:
+        m.feat_drop = args.feat_drop
+    if args.order is not None:
+        m.order = args.order
+    if args.reducer is not None:
+        m.reducer = args.reducer
+    if args.no_norm:
+        m.norm = False
+    m.extra = args.extra
+    m.fusion = args.fusion
+    m.compute_dtype = args.compute_dtype
+    d.dataset_dir = args.dataset_dir
+    if args.batch_size is not None:
+        d.batch_size = args.batch_size
+    if args.shuffle is not None:
+        d.shuffle_train = args.shuffle
+    d.valid_split = args.valid_split
+    t.lr = args.lr
+    t.epochs = args.epochs
+    t.weight_decay = args.weight_decay
+    if args.patience is not None:
+        t.patience = args.patience
+    t.log_interval = args.log_interval
+    t.seed = args.seed
+    t.checkpoint_dir = args.checkpoint_dir
+    t.resume = args.resume
+    t.data_parallel = args.data_parallel
+    t.model_parallel = args.model_parallel
+    return cfg
+
+
+def cmd_train(args):
+    from sessionrec_tpu.train.session import run_training
+    cfg = build_config(args)
+    mrr, hit = run_training(cfg, max_epoch_batches=args.max_epoch_batches)
+    print("MRR@20\tHR@20")
+    print(f"{mrr * 100:.3f}%\t{hit * 100:.3f}%")
+
+
+def cmd_preprocess(args):
+    from sessionrec_tpu.data import preprocess as pp
+    pp.run(args.dataset, args.input, args.output_dir)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="sessionrec_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    pt = sub.add_parser("train", help="train a model")
+    _add_train_flags(pt)
+    pp = sub.add_parser("preprocess", help="offline dataset preprocessing")
+    pp.add_argument("--dataset", required=True,
+                    choices=["diginetica", "gowalla", "lastfm", "yoochoose",
+                             "yoochoose_stage1"])
+    pp.add_argument("--input", required=True,
+                    help="raw csv/dat file (or dir for yoochoose stage 2)")
+    pp.add_argument("--output-dir", required=True)
+    args = parser.parse_args(argv)
+    if args.cmd == "train":
+        cmd_train(args)
+    elif args.cmd == "preprocess":
+        cmd_preprocess(args)
+
+
+if __name__ == "__main__":
+    main()

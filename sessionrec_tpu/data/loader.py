@@ -1,0 +1,137 @@
+"""Host input pipeline: ordered/shuffled batching + background prefetch.
+
+Replaces the reference's torch DataLoader with multiprocess workers
+(reference: src/scripts/main_msgifsr.py:148-166).  Graph building happens
+on host CPU in a background thread (double-buffered), overlapping with
+the TPU step; batches are fixed-shape so the compiled step never
+recompiles.  Train order is *sequential* by default to reproduce the
+reference's ordered-training semantics (README.md:37); NISER shuffles
+(main_niser.py:84-92).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from sessionrec_tpu.data.augment import AugmentedIndex
+from sessionrec_tpu.graph import batch as B
+from sessionrec_tpu.graph import builders
+
+try:  # optional C++ fast-path builders (native/collate.cc)
+    from sessionrec_tpu.data import native_collate as _native
+except Exception:  # pragma: no cover
+    _native = None
+
+
+def _make_batch(kind, seqs, labels, max_len, batch_size, order, use_native=True):
+    bl = _native if (use_native and _native is not None and _native.available()) \
+        else builders
+    if kind == "session":
+        d = bl.build_session_batch(seqs, labels, max_len, batch_size)
+        return B.SessionGraphBatch(**d)
+    if kind == "lessr":
+        d = bl.build_lessr_batch(seqs, labels, max_len, batch_size)
+        return B.LessrBatch(**d)
+    if kind == "ccs":
+        d = bl.build_ccs_batch(seqs, labels, order, max_len, batch_size)
+        levels = tuple(B.CcsLevel(**lv) for lv in d["levels"])
+        return B.CcsBatch(levels=levels, inter_in=tuple(d["inter_in"]),
+                          inter_out=tuple(d["inter_out"]),
+                          labels=d["labels"], valid=d["valid"])
+    raise ValueError(f"unknown batch kind {kind!r}")
+
+
+class BatchLoader:
+    """Iterable over fixed-shape graph batches.
+
+    Args:
+      sessions: list of item-id sequences.
+      kind: 'session' (SRGNN/NISER), 'lessr', or 'ccs' (MSGIFSR).
+      batch_size: static batch size; the final partial batch is padded
+        with ``valid=0`` rows (the reference instead emits a ragged last
+        batch — metrics are identical because padded rows are masked).
+      max_len: static per-session node cap (sessions are <= 20 items
+        after preprocessing; computed from data by the CLI).
+      shuffle: shuffle example order each epoch (NISER) or keep the
+        time-ordered stream (SRGNN default off in scripts, LESSR/MSGIFSR).
+      order: CCS order (MSGIFSR only).
+      seed: shuffle seed.
+      prefetch: number of batches built ahead in a background thread.
+    """
+
+    def __init__(self, sessions, kind, batch_size, max_len, shuffle=False,
+                 order=1, seed=0, prefetch=2, drop_last=False,
+                 use_native=True):
+        self.index = AugmentedIndex(sessions)
+        self.kind = kind
+        self.batch_size = batch_size
+        self.max_len = max_len
+        self.shuffle = shuffle
+        self.order = order
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.use_native = use_native
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.index)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_examples(self):
+        return len(self.index)
+
+    def _epoch_order(self):
+        order = np.arange(len(self.index))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        return order
+
+    def _build(self, ids):
+        seqs, labels = [], []
+        for i in ids:
+            s, l = self.index.example(i)
+            seqs.append(s)
+            labels.append(l)
+        return _make_batch(self.kind, seqs, labels, self.max_len,
+                           self.batch_size, self.order, self.use_native)
+
+    def __iter__(self):
+        order = self._epoch_order()
+        nb = len(self) if not self.drop_last else len(self.index) // self.batch_size
+        if self.prefetch <= 0:
+            for k in range(nb):
+                yield self._build(order[k * self.batch_size:(k + 1) * self.batch_size])
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for k in range(nb):
+                    if stop.is_set():
+                        return
+                    q.put(self._build(
+                        order[k * self.batch_size:(k + 1) * self.batch_size]))
+                q.put(None)
+            except BaseException as e:  # surface builder errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

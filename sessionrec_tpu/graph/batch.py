@@ -1,0 +1,103 @@
+"""Fixed-shape batch pytrees — the dense replacement for ``dgl.batch``.
+
+The reference batches ragged per-session DGL graphs into one disjoint-union
+sparse graph (reference: src/utils/data/collate.py:219-256).  Here a batch
+is a pytree of fixed-shape arrays: one row per session, padded to static
+maxima.  Sessions are truncated to <=20 items by preprocessing
+(reference: src/utils/data/preprocess.py:45-50), so the per-session node
+budget is tiny and dense ``[B, N, N]`` adjacency tensors are cheap; all
+graph kernels become batched masked matmuls/softmaxes on the MXU/VPU.
+
+Conventions:
+  * ``adj[b, u, v]`` is the weight/multiplicity of edge ``u -> v``
+    (src-major).  In-neighbour aggregation for destinations is a
+    contraction over axis 1.
+  * node index 0 .. n_nodes-1 are real, the rest padding; ``node_mask``
+    marks real nodes.  Padded ``iid`` entries are 0 (they are never
+    selected through a mask, but keep them in-range for gathers).
+  * ``valid`` marks real examples; the final partial batch is padded to
+    the static batch size.
+"""
+
+from __future__ import annotations
+
+from flax import struct
+import jax.numpy as jnp  # noqa: F401  (dtype doc only)
+
+
+@struct.dataclass
+class SessionGraphBatch:
+    """Weighted session graph for SRGNN/NISER.
+
+    Mirrors ``seq_to_session_graph`` (reference: collate.py:61-85):
+    nodes are the unique items of the session in ascending item-id order,
+    edges are deduplicated consecutive pairs with count weights, and a
+    session with no edges gets the degenerate self-loop 0->0 with w=1
+    (collate.py:74-76).
+    """
+
+    node_iid: "jnp.ndarray"   # [B, N] int32
+    node_mask: "jnp.ndarray"  # [B, N] float32
+    adj: "jnp.ndarray"        # [B, N, N] float32; adj[b,u,v] = weight of u->v
+    last_idx: "jnp.ndarray"   # [B] int32 — node index of the session's last item
+    labels: "jnp.ndarray"     # [B] int32 — next-item label
+    valid: "jnp.ndarray"      # [B] float32 — example mask
+
+
+@struct.dataclass
+class LessrBatch:
+    """EOP multigraph + shortcut graph for LESSR.
+
+    The EOP multigraph (collate.py:29-44) keeps duplicate consecutive
+    edges in temporal order; it is materialised as per-destination
+    *mailboxes*: ``mail_idx[b, v, j]`` is the node index of the j-th
+    in-message's source, in edge-insertion (= temporal) order — exactly
+    the ordering LESSR's EOPA GRU reducer requires (lessr.py:20-27).
+
+    The shortcut graph (collate.py:46-59) is deduplicated "u occurred
+    at-or-before v" pairs (self-loops included) as a 0/1 adjacency.
+    """
+
+    node_iid: "jnp.ndarray"   # [B, N] int32
+    node_mask: "jnp.ndarray"  # [B, N] float32
+    mail_idx: "jnp.ndarray"   # [B, N, D] int32 — src node of j-th in-message of v
+    mail_mask: "jnp.ndarray"  # [B, N, D] float32
+    sc_adj: "jnp.ndarray"     # [B, N, N] float32 0/1 shortcut adjacency (u->v)
+    last_idx: "jnp.ndarray"   # [B] int32
+    labels: "jnp.ndarray"     # [B] int32
+    valid: "jnp.ndarray"      # [B] float32
+
+
+@struct.dataclass
+class CcsLevel:
+    """One granularity level of the CCS heterograph (collate.py:87-217).
+
+    Level ``k`` nodes are the distinct consecutive k-grams of the session
+    in first-occurrence order; ``iid`` stores the k member item ids per
+    node.  A session shorter than ``k`` gets a single pad node whose iid
+    is the session's smallest item id repeated (collate.py:203-207) and
+    which is also the level's "last" node (collate.py:134-137).
+    """
+
+    iid: "jnp.ndarray"        # [B, Nk, k] int32 member item ids
+    mask: "jnp.ndarray"       # [B, Nk] float32
+    intra_adj: "jnp.ndarray"  # [B, Nk, Nk] float32 0/1 (dedup; weights dropped
+    #   to match the reference, which computes but never attaches them,
+    #   collate.py:154-159)
+    last_idx: "jnp.ndarray"   # [B] int32
+
+
+@struct.dataclass
+class CcsBatch:
+    """Multi-granularity CCS heterograph batch for MSGIFSR."""
+
+    levels: tuple  # tuple[CcsLevel] for k = 1..K
+    # inter edges exist for k >= 2; tuples are indexed by k-2.
+    inter_in: tuple   # tuple of [B, N1, Nk] 0/1 — s1 -> sk (item precedes k-gram)
+    inter_out: tuple  # tuple of [B, Nk, N1] 0/1 — sk -> s1 (k-gram precedes item)
+    labels: "jnp.ndarray"  # [B] int32
+    valid: "jnp.ndarray"   # [B] float32
+
+    @property
+    def order(self) -> int:
+        return len(self.levels)

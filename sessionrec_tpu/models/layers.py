@@ -1,0 +1,372 @@
+"""Functional neural layers over the dense graph layout.
+
+Each layer is an ``init_*(key, ...) -> params`` / ``*_apply(params, ...)``
+pair.  Dropout takes an ``RngGen`` (None disables).  BatchNorm threads an
+explicit ``(params, state)`` and returns updated running stats when
+training.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sessionrec_tpu.models import init as I
+from sessionrec_tpu.ops.gru import gru_cell, gru_scan, masked_mailbox_gru
+from sessionrec_tpu.ops.masked import masked_mean, masked_softmax
+
+
+class RngGen:
+    """Splits a PRNG key on demand (trace-safe)."""
+
+    def __init__(self, key):
+        self.key = key
+
+    def next(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+
+def dropout(rng, x, rate: float, training: bool):
+    """Inverted dropout matching torch nn.Dropout semantics."""
+    if not training or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng.next(), keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def linear(p, x):
+    y = x @ p["w"].T
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def prelu(p, x):
+    return jnp.where(x >= 0, x, p["a"] * x)
+
+
+def l2norm(x, eps=1e-12, axis=-1):
+    """torch F.normalize: x / max(||x||, eps)."""
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+# ---------------------------------------------------------------------------
+# Masked BatchNorm1d (torch semantics incl. running stats)
+# ---------------------------------------------------------------------------
+
+def batchnorm_apply(p, state, x, mask=None, *, training, momentum=0.1,
+                    eps=1e-5):
+    """BatchNorm over all leading axes of ``x [..., C]``.
+
+    ``mask`` (same leading shape) restricts statistics to real rows — in
+    the reference BN sees only real (unpadded) nodes, so padded rows must
+    not contaminate batch statistics.  Running update uses torch's
+    unbiased variance; normalisation uses the biased one.
+    """
+    C = x.shape[-1]
+    xf = x.reshape(-1, C)
+    if training:
+        if mask is not None:
+            mf = mask.reshape(-1, 1).astype(xf.dtype)
+            n = jnp.maximum(jnp.sum(mf), 1.0)
+            mean = jnp.sum(xf * mf, 0) / n
+            var = jnp.sum(((xf - mean) ** 2) * mf, 0) / n
+        else:
+            n = jnp.asarray(xf.shape[0], xf.dtype)
+            mean = jnp.mean(xf, 0)
+            var = jnp.mean((xf - mean) ** 2, 0)
+        unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return y, new_state
+
+
+# ---------------------------------------------------------------------------
+# SRGNNLayer (reference: srgnn.py:11-51, duplicated in niser.py:11-49)
+# ---------------------------------------------------------------------------
+
+def init_srgnn_layer(key, dim, *, bound):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "gru": I.gru_params(k1, 2 * dim, dim, bound=bound),
+        "W1": I.linear_params(k2, dim, dim, bias=False, bound=bound),
+        "W2": I.linear_params(k3, dim, dim, bias=False, bound=bound),
+    }
+
+
+def srgnn_layer_apply(p, feat, adj, rng, *, feat_drop, training):
+    """Gated-GNN step on the weighted session graph.
+
+    Messages use dropped features; the GRU hidden state is the *undropped*
+    input feature (srgnn.py:35,45).  Weighted-mean aggregation runs in
+    both edge directions; zero-in-degree nodes aggregate to 0 (DGL
+    update_all semantics).
+    """
+    ft = dropout(rng, feat, feat_drop, training)
+    # forward: dst v <- sum_u adj[u,v] * ft[u] / sum_u adj[u,v]
+    msum_f = jnp.einsum("buv,bud->bvd", adj, ft)
+    den_f = jnp.sum(adj, axis=1)  # [B, N] in-weight per dst
+    neigh1 = msum_f / jnp.maximum(den_f, 1e-24)[..., None]
+    # reverse direction (g.reverse(copy_edata=True), srgnn.py:39)
+    msum_r = jnp.einsum("buv,bvd->bud", adj, ft)
+    den_r = jnp.sum(adj, axis=2)
+    neigh2 = msum_r / jnp.maximum(den_r, 1e-24)[..., None]
+    hn = jnp.concatenate([linear(p["W1"], neigh1), linear(p["W2"], neigh2)],
+                         axis=-1)
+    return gru_cell(p["gru"], hn, feat)
+
+
+# ---------------------------------------------------------------------------
+# AttnReadout (homogeneous; srgnn.py:53-91 / lessr.py:80-118)
+# ---------------------------------------------------------------------------
+
+def init_attn_readout(key, in_dim, hidden_dim, out_dim, *, bound,
+                      batch_norm=False, activation=False):
+    ks = jax.random.split(key, 5)
+    p = {
+        "fc_u": I.linear_params(ks[0], in_dim, hidden_dim, bias=False, bound=bound),
+        "fc_v": I.linear_params(ks[1], in_dim, hidden_dim, bias=True, bound=bound),
+        "fc_e": I.linear_params(ks[2], hidden_dim, 1, bias=False, bound=bound),
+    }
+    state = {}
+    if out_dim != in_dim:
+        p["fc_out"] = I.linear_params(ks[3], in_dim, out_dim, bias=False,
+                                      bound=bound)
+    if batch_norm:
+        p["bn"], state["bn"] = I.batchnorm_params(in_dim)
+    if activation:
+        p["act"] = I.prelu_params(out_dim)
+    return p, state
+
+
+def attn_readout_apply(p, state, feat, mask, last_idx, rng, *, feat_drop,
+                       training):
+    """Soft-attention pooling into one session vector per graph."""
+    new_state = dict(state)
+    if "bn" in p:
+        feat, new_state["bn"] = batchnorm_apply(p["bn"], state["bn"], feat,
+                                                mask, training=training)
+    feat = dropout(rng, feat, feat_drop, training)
+    feat_u = linear(p["fc_u"], feat)                       # [B, N, H]
+    f_last = jnp.take_along_axis(
+        feat, last_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    feat_v = linear(p["fc_v"], f_last)                     # [B, H]
+    e = linear(p["fc_e"], jax.nn.sigmoid(feat_u + feat_v[:, None, :]))
+    alpha = masked_softmax(e, mask[..., None], axis=1)     # segment softmax
+    rst = jnp.sum(feat * alpha, axis=1)                    # segment sum
+    if "fc_out" in p:
+        rst = linear(p["fc_out"], rst)
+    if "act" in p:
+        rst = prelu(p["act"], rst)
+    return rst, new_state
+
+
+# ---------------------------------------------------------------------------
+# EOPA (reference: lessr.py:8-42)
+# ---------------------------------------------------------------------------
+
+def init_eopa(key, in_dim, out_dim, *, batch_norm=True):
+    ks = jax.random.split(key, 4)
+    p = {
+        "gru": I.gru_params(ks[0], in_dim, in_dim),
+        "fc_self": I.linear_params(ks[1], in_dim, out_dim, bias=False),
+        "fc_neigh": I.linear_params(ks[2], in_dim, out_dim, bias=False),
+        "act": I.prelu_params(out_dim),
+    }
+    state = {}
+    if batch_norm:
+        p["bn"], state["bn"] = I.batchnorm_params(in_dim)
+    return p, state
+
+
+def eopa_apply(p, state, feat, mask, mail_idx, mail_mask, rng, *, feat_drop,
+               training):
+    """Edge-order-preserving aggregation.
+
+    The per-node mailbox GRU consumes in-messages in temporal order —
+    exactly DGL's edge-insertion-ordered mailbox (lessr.py:21-26).
+    """
+    new_state = dict(state)
+    if "bn" in p:
+        feat, new_state["bn"] = batchnorm_apply(p["bn"], state["bn"], feat,
+                                                mask, training=training)
+    ft = dropout(rng, feat, feat_drop, training)
+    # mailbox gather: mail[b, v, j] = ft[b, mail_idx[b, v, j]]
+    mail = jnp.take_along_axis(ft[:, None, :, :],
+                               mail_idx[..., None].astype(jnp.int32),
+                               axis=2)
+    neigh = masked_mailbox_gru(p["gru"], mail, mail_mask)
+    rst = linear(p["fc_self"], feat) + linear(p["fc_neigh"], neigh)
+    return prelu(p["act"], rst), new_state
+
+
+# ---------------------------------------------------------------------------
+# SGAT (reference: lessr.py:45-77)
+# ---------------------------------------------------------------------------
+
+def init_sgat(key, in_dim, hidden_dim, out_dim, *, batch_norm=True):
+    ks = jax.random.split(key, 5)
+    p = {
+        "fc_q": I.linear_params(ks[0], in_dim, hidden_dim, bias=True),
+        "fc_k": I.linear_params(ks[1], in_dim, hidden_dim, bias=False),
+        "fc_v": I.linear_params(ks[2], in_dim, out_dim, bias=False),
+        "fc_e": I.linear_params(ks[3], hidden_dim, 1, bias=False),
+        "act": I.prelu_params(out_dim),
+    }
+    state = {}
+    if batch_norm:
+        p["bn"], state["bn"] = I.batchnorm_params(in_dim)
+    return p, state
+
+
+def sgat_apply(p, state, feat, mask, sc_adj, rng, *, feat_drop, training):
+    """Shortcut-graph attention: e_uv = fc_e(sigmoid(q_u + k_v)),
+    edge-softmax over each destination's in-edges, weighted sum of v_u."""
+    new_state = dict(state)
+    if "bn" in p:
+        feat, new_state["bn"] = batchnorm_apply(p["bn"], state["bn"], feat,
+                                                mask, training=training)
+    feat = dropout(rng, feat, feat_drop, training)
+    q = linear(p["fc_q"], feat)   # [B, N, H] (src role)
+    k = linear(p["fc_k"], feat)   # [B, N, H] (dst role)
+    v = linear(p["fc_v"], feat)
+    e = linear(p["fc_e"], jax.nn.sigmoid(q[:, :, None, :] + k[:, None, :, :]))
+    a = masked_softmax(e, sc_adj[..., None], axis=1)     # edge_softmax by dst
+    rst = jnp.einsum("buv,bud->bvd", a[..., 0], v)       # u_mul_e_sum
+    return prelu(p["act"], rst), new_state
+
+
+# ---------------------------------------------------------------------------
+# GATConv (vendored DGL layer; reference: gatconv.py:254-319), dense form
+# ---------------------------------------------------------------------------
+
+def gat_apply(p, f_src, f_dst, adj, rng, *, num_heads, feat_drop, attn_drop,
+              training):
+    """8-head additive-attention conv on a (possibly bipartite) relation.
+
+    ``adj [B, Ns, Nd]`` marks edges src->dst.  Residual is identity
+    (+h_dst, gatconv.py:306-308) and bias is added per head.  Returns
+    ``[B, Nd, H, dh]`` — head reduction happens in the caller (MSHGNN
+    takes max over heads, msgifsr.py:84-85).
+    """
+    h_src = dropout(rng, f_src, feat_drop, training)
+    h_dst = dropout(rng, f_dst, feat_drop, training)
+    B, Ns = h_src.shape[0], h_src.shape[1]
+    Nd = h_dst.shape[1]
+    dh = p["attn_l"].shape[-1]
+    fs = (h_src @ p["fc"].T).reshape(B, Ns, num_heads, dh)
+    fd = (h_dst @ p["fc"].T).reshape(B, Nd, num_heads, dh)
+    el = jnp.sum(fs * p["attn_l"], axis=-1)               # [B, Ns, H]
+    er = jnp.sum(fd * p["attn_r"], axis=-1)               # [B, Nd, H]
+    e = jax.nn.leaky_relu(el[:, :, None, :] + er[:, None, :, :], 0.2)
+    a = masked_softmax(e, adj[..., None], axis=1)         # softmax over src
+    a = dropout(rng, a, attn_drop, training)
+    rst = jnp.einsum("bsdh,bshf->bdhf", a, fs)
+    rst = rst + h_dst[:, :, None, :]                      # identity residual
+    rst = rst + p["bias"].reshape(1, 1, num_heads, dh)
+    return rst
+
+
+# ---------------------------------------------------------------------------
+# SemanticExpander (reference: msgifsr.py:14-45)
+# ---------------------------------------------------------------------------
+
+def init_semantic_expander(key, dim, reducer: str, order: int, *, bound):
+    """One GRU per gram-size >= 2 (the reference allocates ``order`` GRUs
+    but only indices 0..order-2 are reachable, msgifsr.py:42)."""
+    p = {"grus": [], "Ws": []}
+    ks = jax.random.split(key, max(order, 1))
+    for i in range(order - 1):
+        p["grus"].append(I.gru_params(ks[i], dim, dim, bound=bound))
+    if reducer == "concat":
+        kws = jax.random.split(jax.random.fold_in(key, 7), max(order - 1, 1))
+        for i in range(1, order):
+            p["Ws"].append(I.linear_params(kws[i - 1], dim * (i + 1), dim,
+                                           bias=True, bound=bound))
+    return p
+
+
+def semantic_expander_apply(p, feat, level: int, reducer: str):
+    """Embed a k-gram node set ``feat [B, Nk, k, d]`` -> ``[B, Nk, d]``."""
+    if level == 1:
+        return feat[:, :, 0, :]
+    if reducer == "mean":
+        invar = jnp.mean(feat, axis=2)
+    elif reducer == "max":
+        invar = jnp.max(feat, axis=2)
+    elif reducer == "concat":
+        B, Nk = feat.shape[0], feat.shape[1]
+        invar = linear(p["Ws"][level - 2], feat.reshape(B, Nk, -1))
+    else:
+        raise ValueError(f"unknown reducer {reducer!r}")
+    var = gru_scan(p["grus"][level - 2], feat)            # final hidden
+    return 0.5 * invar + 0.5 * var
+
+
+# ---------------------------------------------------------------------------
+# MSHGNN (reference: msgifsr.py:47-91)
+# ---------------------------------------------------------------------------
+
+def init_mshgnn(key, dim, order: int, *, bound, num_heads=8):
+    """Two HeteroGraphConvs (forward + reversed graph), each a dict of
+    GATConvs: one per intra relation + ONE shared 'inter' module applied
+    to every inter relation (dgl HeteroGraphConv keys by edge-type name,
+    msgifsr.py:58-64)."""
+    p = {"conv1": {}, "conv2": {}}
+    ks = iter(jax.random.split(key, 2 * (order + 1)))
+    for conv in ("conv1", "conv2"):
+        for i in range(order):
+            p[conv][f"intra{i + 1}"] = I.gat_params(next(ks), dim, dim,
+                                                    num_heads, bound=bound)
+        p[conv]["inter"] = I.gat_params(next(ks), dim, dim, num_heads,
+                                        bound=bound)
+    return p
+
+
+def mshgnn_apply(p, feats, batch, rng, *, feat_drop, training, num_heads=8):
+    """Hetero message passing over the CCS batch.
+
+    For each level: GAT over the forward relations (conv1) + GAT over the
+    reversed graph (conv2), summed per destination type ('sum' aggregate),
+    max over the 8 heads, plus a broadcast per-graph mean of the *input*
+    features (msgifsr.py:84-89).
+    """
+    K = batch.order
+    kw = dict(num_heads=num_heads, feat_drop=feat_drop, attn_drop=feat_drop,
+              training=training)
+    out = []
+    for l in range(1, K + 1):
+        lv = batch.levels[l - 1]
+        f = feats[l - 1]
+        acc = gat_apply(p["conv1"][f"intra{l}"], f, f, lv.intra_adj, rng, **kw)
+        acc = acc + gat_apply(p["conv2"][f"intra{l}"], f, f,
+                              jnp.swapaxes(lv.intra_adj, 1, 2), rng, **kw)
+        if l == 1:
+            for k in range(2, K + 1):
+                fk = feats[k - 1]
+                # conv1: sk -> s1 inter edges
+                acc = acc + gat_apply(p["conv1"]["inter"], fk, f,
+                                      batch.inter_out[k - 2], rng, **kw)
+                # conv2 (reversed): s1 -> sk edges become sk -> s1
+                acc = acc + gat_apply(p["conv2"]["inter"], fk, f,
+                                      jnp.swapaxes(batch.inter_in[k - 2], 1, 2),
+                                      rng, **kw)
+        else:
+            acc = acc + gat_apply(p["conv1"]["inter"], feats[0], f,
+                                  batch.inter_in[l - 2], rng, **kw)
+            acc = acc + gat_apply(p["conv2"]["inter"], feats[0], f,
+                                  jnp.swapaxes(batch.inter_out[l - 2], 1, 2),
+                                  rng, **kw)
+        h = jnp.max(acc, axis=2)                           # head max
+        h_mean = masked_mean(f, lv.mask[..., None], axis=1)  # per-graph mean
+        out.append(h + h_mean[:, None, :])
+    return out

@@ -1,0 +1,123 @@
+"""LESSR — edge-order-preserving aggregation + shortcut-graph attention
+(reference: src/models/lessr.py:121-183).
+
+Parity notes:
+* Layers alternate EOPA (even) / SGAT (odd) with dense feature concat:
+  layer input width grows by ``embedding_dim`` per layer
+  (lessr.py:133-152,174).
+* The embedding uses torch ``max_norm=1``: rows touched by a lookup are
+  L2-renormed **in place, in the table, at lookup time** (lessr.py:126).
+  Since every forward also looks up the *entire* table for the catalog
+  logits (lessr.py:182), all rows are renormed every step.  The
+  functional equivalent implemented here: ``project_params`` renorms the
+  whole table; the trainer applies it at the top of every step (and eval)
+  so gradients/updates act on the projected table, exactly like torch's
+  data-side renorm.
+* No ``reset_parameters``: torch per-module default inits apply
+  (see models/init.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from sessionrec_tpu.models import init as I
+from sessionrec_tpu.models import layers as L
+from sessionrec_tpu.ops import scoring
+
+
+def renorm_rows(table, max_norm=1.0, eps=1e-7):
+    """torch Embedding(max_norm) renorm: rows with ||r|| > max_norm are
+    scaled by max_norm / (||r|| + eps)."""
+    n = jnp.linalg.norm(table, axis=-1, keepdims=True)
+    scale = jnp.where(n > max_norm, max_norm / (n + eps), 1.0)
+    return table * scale
+
+
+@dataclass(frozen=True)
+class LESSR:
+    num_items: int
+    embedding_dim: int
+    num_layers: int
+    batch_norm: bool = True
+    feat_drop: float = 0.0
+
+    graph_kind = "lessr"
+    has_max_norm = True
+
+    @classmethod
+    def from_config(cls, cfg, num_items):
+        return cls(num_items=num_items, embedding_dim=cfg.embedding_dim,
+                   num_layers=cfg.num_layers, batch_norm=cfg.batch_norm,
+                   feat_drop=cfg.feat_drop)
+
+    @property
+    def padded_items(self):
+        return scoring.pad_catalog(self.num_items)
+
+    def init(self, key):
+        d = self.embedding_dim
+        ks = jax.random.split(key, 4 + self.num_layers)
+        params = {"embedding": I.embedding_params(ks[0], self.padded_items, d),
+                  "layers": []}
+        state = {"layers": []}
+        input_dim = d
+        for i in range(self.num_layers):
+            if i % 2 == 0:
+                p, s = L.init_eopa(ks[1 + i], input_dim, d,
+                                   batch_norm=self.batch_norm)
+            else:
+                p, s = L.init_sgat(ks[1 + i], input_dim, d, d,
+                                   batch_norm=self.batch_norm)
+            params["layers"].append(p)
+            state["layers"].append(s)
+            input_dim += d
+        params["readout"], state["readout"] = L.init_attn_readout(
+            ks[-3], input_dim, d, d, bound=None,
+            batch_norm=self.batch_norm, activation=True)
+        input_dim += d
+        if self.batch_norm:
+            params["bn"], state["bn"] = I.batchnorm_params(input_dim)
+        params["fc_sr"] = I.linear_params(ks[-2], input_dim, d, bias=False)
+        return params, state
+
+    def project_params(self, params):
+        params = dict(params)
+        params["embedding"] = renorm_rows(params["embedding"], 1.0)
+        return params
+
+    def apply(self, params, state, batch, *, training=False, rng=None):
+        rng = L.RngGen(rng) if rng is not None else None
+        new_state = {"layers": []}
+        feat = params["embedding"][batch.node_iid]
+        for i, (lp, ls) in enumerate(zip(params["layers"], state["layers"])):
+            if i % 2 == 0:
+                out, ns = L.eopa_apply(lp, ls, feat, batch.node_mask,
+                                       batch.mail_idx, batch.mail_mask, rng,
+                                       feat_drop=self.feat_drop,
+                                       training=training)
+            else:
+                out, ns = L.sgat_apply(lp, ls, feat, batch.node_mask,
+                                       batch.sc_adj, rng,
+                                       feat_drop=self.feat_drop,
+                                       training=training)
+            new_state["layers"].append(ns)
+            feat = jnp.concatenate([out, feat], axis=-1)   # dense concat growth
+        sr_g, new_state["readout"] = L.attn_readout_apply(
+            params["readout"], state["readout"], feat, batch.node_mask,
+            batch.last_idx, rng, feat_drop=self.feat_drop, training=training)
+        sr_l = jnp.take_along_axis(
+            feat, batch.last_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        sr = jnp.concatenate([sr_l, sr_g], axis=-1)
+        if self.batch_norm:
+            sr, new_state["bn"] = L.batchnorm_apply(params["bn"], state["bn"],
+                                                    sr, batch.valid,
+                                                    training=training)
+        sr = L.linear(params["fc_sr"], L.dropout(rng, sr, self.feat_drop,
+                                                 training))
+        imask = scoring.item_mask(self.num_items, self.padded_items)
+        log_probs = scoring.log_softmax_scores(sr, params["embedding"], imask)
+        return log_probs, new_state

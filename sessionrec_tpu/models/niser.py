@@ -1,0 +1,95 @@
+"""NISER+ — SRGNN with L2-normalised embeddings and scaled softmax
+(reference: src/models/niser.py:91-157).
+
+Deltas from SRGNN: embeddings L2-normalised after dropout (niser.py:134-135)
+and again before readout (141-142); session representation and catalog
+embeddings normalised (147-151); logits scaled by ``scale`` (=12) before
+log-softmax (152-156).  Shares the readout-on-embedding quirk.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from sessionrec_tpu.models import init as I
+from sessionrec_tpu.models import layers as L
+from sessionrec_tpu.ops import scoring
+
+
+@dataclass(frozen=True)
+class NISER:
+    num_items: int
+    embedding_dim: int
+    num_layers: int
+    feat_drop: float = 0.0
+    norm: bool = True
+    scale: float = 12.0
+    readout_on_embedding: bool = True
+
+    graph_kind = "session"
+    has_max_norm = False
+
+    @classmethod
+    def from_config(cls, cfg, num_items):
+        return cls(num_items=num_items, embedding_dim=cfg.embedding_dim,
+                   num_layers=cfg.num_layers, feat_drop=cfg.feat_drop,
+                   norm=cfg.norm, scale=cfg.scale,
+                   readout_on_embedding=cfg.readout_on_embedding)
+
+    @property
+    def padded_items(self):
+        return scoring.pad_catalog(self.num_items)
+
+    def init(self, key):
+        d = self.embedding_dim
+        bound = 1.0 / math.sqrt(d)
+        ks = jax.random.split(key, 3 + self.num_layers)
+        params = {
+            "embedding": I.embedding_params(ks[0], self.padded_items, d,
+                                            bound=bound),
+            "layers": [L.init_srgnn_layer(ks[1 + i], d, bound=bound)
+                       for i in range(self.num_layers)],
+            "fc_sr": I.linear_params(ks[-2], 2 * d, d, bias=False,
+                                     bound=bound),
+        }
+        params["readout"], _ = L.init_attn_readout(
+            ks[-1], d, d, d, bound=bound, batch_norm=False, activation=False)
+        return params, {}
+
+    def project_params(self, params):
+        return params
+
+    def apply(self, params, state, batch, *, training=False, rng=None):
+        rng = L.RngGen(rng) if rng is not None else None
+        emb = params["embedding"][batch.node_iid]
+        feat = L.dropout(rng, emb, self.feat_drop, training)
+        if self.norm:
+            feat = L.l2norm(feat)
+        out = feat
+        for lp in params["layers"]:
+            out = L.srgnn_layer_apply(lp, out, batch.adj, rng,
+                                      feat_drop=self.feat_drop,
+                                      training=training)
+        ro_feat = feat if self.readout_on_embedding else out
+        if self.norm:
+            ro_feat = L.l2norm(ro_feat)
+        sr_g, _ = L.attn_readout_apply(params["readout"], {}, ro_feat,
+                                       batch.node_mask, batch.last_idx, rng,
+                                       feat_drop=self.feat_drop,
+                                       training=training)
+        sr_l = jnp.take_along_axis(
+            ro_feat, batch.last_idx[:, None, None].astype(jnp.int32),
+            axis=1)[:, 0]
+        sr = L.linear(params["fc_sr"], jnp.concatenate([sr_l, sr_g], axis=-1))
+        table = params["embedding"]
+        if self.norm:
+            sr = L.l2norm(sr)
+            table = L.l2norm(table)
+        imask = scoring.item_mask(self.num_items, self.padded_items)
+        scale = self.scale if self.scale else 1.0
+        log_probs = scoring.log_softmax_scores(sr, table, imask, scale=scale)
+        return log_probs, state

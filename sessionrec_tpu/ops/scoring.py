@@ -1,0 +1,81 @@
+"""Full-catalog scoring: the [B, d] x [d, num_items] hot path.
+
+The catalog axis is the framework's scaling dimension (SURVEY.md §2.3):
+the item-embedding table is the one big tensor, and every forward ends in
+a dense full-catalog matmul + (log-)softmax + (at eval) top-k
+(reference: srgnn.py:145-147, niser.py:152-156, lessr.py:182-183,
+msgifsr.py:276-321; topk at train.py:49).
+
+The catalog is padded to a multiple of 128 (MXU lane width / sharding
+divisibility); padded columns are masked with a large negative before any
+softmax so probabilities and rankings are identical to the unpadded
+computation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sessionrec_tpu.ops.masked import NEG_INF
+
+
+def pad_catalog(num_items: int, multiple: int = 128) -> int:
+    return ((num_items + multiple - 1) // multiple) * multiple
+
+
+def item_mask(num_items: int, padded: int, dtype=jnp.float32):
+    """[padded] 1/0 mask of real catalog entries (static)."""
+    return (jnp.arange(padded) < num_items).astype(dtype)
+
+
+def catalog_logits(sr, table):
+    """sr [.., d] @ table[P, d]^T -> [.., P] in f32 accumulation."""
+    return jax.lax.dot_general(
+        sr, table,
+        dimension_numbers=(((sr.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def log_softmax_scores(sr, table, imask, scale: float = 1.0):
+    """log(softmax(scale * sr @ table^T)) over real items.
+
+    Padded columns get ~NEG_INF log-probability.  Matches
+    ``th.log(softmax(...))`` (srgnn.py:147 / niser.py:154).
+    """
+    logits = scale * catalog_logits(sr, table)
+    logits = jnp.where(imask.astype(bool), logits, NEG_INF)
+    return jax.nn.log_softmax(logits, axis=-1)
+
+
+def masked_catalog_softmax(logits, col_mask):
+    """softmax over the last axis restricted to ``col_mask`` (rows with an
+    empty mask return zeros — used by MSGIFSR's REnorm split,
+    msgifsr.py:289-292)."""
+    neg = NEG_INF
+    x = jnp.where(col_mask.astype(bool), logits, neg)
+    m = jnp.maximum(jnp.max(x, axis=-1, keepdims=True), neg * 0.5)
+    ex = jnp.where(col_mask.astype(bool), jnp.exp(x - m), 0.0)
+    s = jnp.sum(ex, axis=-1, keepdims=True)
+    return ex / jnp.maximum(s, jnp.finfo(ex.dtype).tiny)
+
+
+def nll_loss(log_probs, labels, valid):
+    """Mean negative log-likelihood over valid rows (train.py:99)."""
+    lp = jnp.take_along_axis(log_probs, labels[:, None].astype(jnp.int32),
+                             axis=-1)[:, 0]
+    v = valid.astype(lp.dtype)
+    return -jnp.sum(lp * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+
+def topk_ranks(log_probs, labels, k: int):
+    """Rank (1-based) of each label within the top-k, else 0.
+
+    Reproduces evaluate() (train.py:45-53): top-k indices over the full
+    catalog, rank found by position.  Ties resolve identically to
+    ``lax.top_k`` (stable, lowest index first — torch.topk likewise).
+    """
+    _, idx = jax.lax.top_k(log_probs, k)
+    hit = idx == labels[:, None]
+    rank = jnp.argmax(hit, axis=-1) + 1
+    return jnp.where(jnp.any(hit, axis=-1), rank, 0)

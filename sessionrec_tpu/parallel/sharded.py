@@ -1,0 +1,106 @@
+"""Sharded train/eval steps over a (data, model) mesh.
+
+GSPMD strategy: parameters and batches are placed with explicit
+``NamedSharding``s (mesh.py) and the *same* pure step functions used
+single-chip are jit-compiled against them; XLA inserts the collectives —
+grad psum over ``data``, all-gather/psum for the row-sharded embedding
+lookups and the column-sharded catalog softmax.  ``sharded_topk`` is a
+hand-written shard_map fast path for distributed top-k: local
+``lax.top_k`` per catalog shard, then a tiny all-gather of k candidates
+per shard and a final top-k — instead of all-gathering the whole
+``[B, num_items]`` logits row.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sessionrec_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS,
+                                          batch_sharding, param_sharding)
+from sessionrec_tpu.ops import scoring
+from sessionrec_tpu.train.runner import make_eval_step, make_train_step
+
+
+def place_params(mesh, params):
+    return jax.device_put(params, param_sharding(mesh, params))
+
+
+def place_batch(mesh, batch):
+    return jax.device_put(batch, batch_sharding(mesh, batch))
+
+
+def init_sharded(model, tx, mesh, key):
+    """Init params/state/opt_state with proper placement."""
+    params, state = model.init(key)
+    params = place_params(mesh, params)
+    state = jax.device_put(state, jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()), state))
+    opt_state = jax.jit(tx.init)(params)   # moments inherit param sharding
+    return params, state, opt_state
+
+
+def make_sharded_steps(model, tx, mesh, cutoff=20):
+    """(train_step, eval_step) compiled against the mesh.
+
+    The bodies are identical to the single-chip ones — sharding is
+    carried entirely by operand placement (GSPMD).
+    """
+    train_step = make_train_step(model, tx)
+    eval_step = make_eval_step(model, cutoff)
+    return train_step, eval_step
+
+
+def sharded_topk(mesh, log_probs, k: int):
+    """Distributed top-k over catalog-sharded scores.
+
+    ``log_probs [B, P]`` sharded (data, model).  Per model-shard: local
+    ``lax.top_k`` -> (values, global ids); all-gather the k candidates of
+    each shard over ``model`` (k * n_shards tiny rows, rides ICI) and
+    re-top-k.  Returns global (values, indices) replicated over model.
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def local(lp):
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        p_local = lp.shape[-1]
+        v, i = jax.lax.top_k(lp, k)
+        gi = i + shard * p_local
+        vg = jax.lax.all_gather(v, MODEL_AXIS, axis=-1, tiled=True)
+        ig = jax.lax.all_gather(gi, MODEL_AXIS, axis=-1, tiled=True)
+        v2, pos = jax.lax.top_k(vg, k)
+        i2 = jnp.take_along_axis(ig, pos, axis=-1)
+        return v2, i2
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=P(DATA_AXIS, MODEL_AXIS),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        check_rep=False,
+    )(log_probs)
+
+
+def make_sharded_eval_step(model, mesh, cutoff=20):
+    """Eval step whose top-k uses the shard_map candidate-merge path."""
+
+    def eval_step(params, state, batch):
+        params = model.project_params(params)
+        log_probs, _ = model.apply(params, state, batch, training=False,
+                                   rng=None)
+        log_probs = jax.lax.with_sharding_constraint(
+            log_probs, NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)))
+        _, idx = sharded_topk(mesh, log_probs, cutoff)
+        hit = idx == batch.labels[:, None]
+        rank = jnp.argmax(hit, axis=-1) + 1
+        ranks = jnp.where(jnp.any(hit, axis=-1), rank, 0)
+        v = batch.valid
+        hit_c = jnp.sum((ranks > 0) * v)
+        mrr = jnp.sum(jnp.where(ranks > 0, 1.0 / jnp.maximum(ranks, 1), 0.0)
+                      * v)
+        return hit_c, mrr, jnp.sum(v)
+
+    return jax.jit(eval_step)

@@ -1,0 +1,93 @@
+"""End-to-end training session: dataset -> loaders -> model -> runner.
+
+Mirrors the reference entry scripts' wiring (main_msgifsr.py:128-188):
+read dataset, optional tail valid-split, prefix-augmented loaders
+(ordered train stream unless the preset shuffles), model, TrainRunner.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from sessionrec_tpu.data.io import max_session_len, read_dataset
+from sessionrec_tpu.data.loader import BatchLoader
+from sessionrec_tpu.models import build_model
+from sessionrec_tpu.train.runner import TrainRunner
+from sessionrec_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def make_loaders(cfg, model_name=None, order=1):
+    train_sessions, test_sessions, num_items = read_dataset(cfg.dataset_dir)
+    if cfg.valid_split is not None:
+        # tail split: last fraction of the (time-ordered) train stream
+        # becomes the validation set (main_msgifsr.py:136-139)
+        num_valid = int(len(train_sessions) * cfg.valid_split)
+        test_sessions = train_sessions[-num_valid:]
+        train_sessions = train_sessions[:-num_valid]
+    max_len = cfg.max_len or max(max_session_len(train_sessions),
+                                 max_session_len(test_sessions))
+    kind = {"srgnn": "session", "niser": "session", "lessr": "lessr",
+            "msgifsr": "ccs"}[model_name]
+    train_loader = BatchLoader(
+        train_sessions, kind, cfg.batch_size, max_len,
+        shuffle=cfg.shuffle_train, order=order,
+        prefetch=cfg.num_prefetch, use_native=cfg.use_native_collate)
+    test_loader = BatchLoader(
+        test_sessions, kind, cfg.batch_size, max_len, shuffle=False,
+        order=order, prefetch=cfg.num_prefetch,
+        use_native=cfg.use_native_collate)
+    return train_loader, test_loader, num_items, max_len
+
+
+def run_training(cfg, max_epoch_batches=None):
+    name = cfg.model.name.lower()
+    train_loader, test_loader, num_items, max_len = make_loaders(
+        cfg.data, model_name=name, order=cfg.model.order)
+    log.info("dataset %s: %d train / %d test examples, %d items, max_len %d",
+             cfg.data.dataset_dir, train_loader.num_examples,
+             test_loader.num_examples, num_items, max_len)
+    model = build_model(cfg.model, num_items)
+    log.info("model %s on %s", name, jax.devices()[0].platform)
+
+    checkpointer = None
+    if cfg.train.checkpoint_dir:
+        from sessionrec_tpu.utils.checkpoint import Checkpointer
+        checkpointer = Checkpointer(cfg.train.checkpoint_dir)
+
+    if max_epoch_batches is not None:
+        train_loader = _CappedLoader(train_loader, max_epoch_batches)
+
+    runner = TrainRunner(
+        model, train_loader, test_loader,
+        lr=cfg.train.lr, weight_decay=cfg.train.weight_decay,
+        patience=cfg.train.patience, seed=cfg.train.seed,
+        cutoff=cfg.train.cutoff, lr_step_size=cfg.train.lr_step_size,
+        lr_gamma=cfg.train.lr_gamma,
+        eval_before_train=cfg.train.eval_before_train,
+        checkpointer=checkpointer)
+    if checkpointer is not None and cfg.train.resume:
+        checkpointer.restore_latest(runner)
+    return runner.train(cfg.train.epochs, cfg.train.log_interval)
+
+
+class _CappedLoader:
+    """Wraps a loader to yield at most N batches per epoch (smoke runs)."""
+
+    def __init__(self, loader, cap):
+        self.loader = loader
+        self.cap = cap
+
+    def __len__(self):
+        return min(len(self.loader), self.cap)
+
+    @property
+    def num_examples(self):
+        return self.loader.num_examples
+
+    def __iter__(self):
+        for i, b in enumerate(self.loader):
+            if i >= self.cap:
+                return
+            yield b
