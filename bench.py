@@ -1,0 +1,96 @@
+"""Benchmark: MSGIFSR training throughput, examples/sec/chip.
+
+North-star config (BASELINE.json): MSGIFSR at Yoochoose-1/4 scale —
+catalog 37,484 items, embedding dim 256, batch 512, order 1 (the
+reference's start.sh:10 run config).  Data is synthetic at the same
+shape distribution (throughput does not depend on item identity).
+
+The reference publishes no numbers and cannot run here (single NVIDIA
+GPU + DGL stack; BASELINE.md), so ``vs_baseline`` is measured against
+the recorded baseline below (first self-measured round = 1.0; later
+rounds show the speedup over round 1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Round-1 self-measured baseline (examples/sec/chip) for this exact config
+# on one TPU v5e chip.  Update only when the config changes.
+BASELINE_EPS = 699974.0
+
+NUM_ITEMS = 37484        # yoochoose-1/4 catalog (preprocess_yoochoose.py:154)
+EMBED_DIM = 256          # main_msgifsr.py:39
+BATCH = 512              # main_msgifsr.py:46
+ORDER = 1                # start.sh:10
+MAX_LEN = 20             # preprocess.py:45-50 session cap
+NUM_LAYERS = 1
+WARMUP_STEPS = 10
+BENCH_STEPS = 50
+
+
+def synthetic_batches(n_batches, rng):
+    from sessionrec_tpu.graph import builders
+    from sessionrec_tpu.graph.batch import CcsBatch, CcsLevel
+    out = []
+    for _ in range(n_batches):
+        lens = rng.integers(1, MAX_LEN + 1, size=BATCH)
+        seqs = [list(rng.integers(0, NUM_ITEMS, size=l)) for l in lens]
+        labels = list(rng.integers(0, NUM_ITEMS, size=BATCH))
+        d = builders.build_ccs_batch(seqs, labels, ORDER, MAX_LEN, BATCH)
+        out.append(CcsBatch(
+            levels=tuple(CcsLevel(**lv) for lv in d["levels"]),
+            inter_in=tuple(d["inter_in"]), inter_out=tuple(d["inter_out"]),
+            labels=d["labels"], valid=d["valid"]))
+    return out
+
+
+def main():
+    import jax
+    from sessionrec_tpu.models import MSGIFSR
+    from sessionrec_tpu.train.optim import make_optimizer
+    from sessionrec_tpu.train.runner import make_train_step
+
+    rng = np.random.default_rng(0)
+    model = MSGIFSR(num_items=NUM_ITEMS, embedding_dim=EMBED_DIM,
+                    num_layers=NUM_LAYERS, feat_drop=0.1, order=ORDER)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(params, lr=1e-3, weight_decay=1e-4,
+                        steps_per_epoch=1000)
+    opt_state = tx.init(params)
+    train_step = make_train_step(model, tx)
+
+    batches = synthetic_batches(8, rng)
+    batches = [jax.device_put(b) for b in batches]
+    key = jax.random.PRNGKey(1)
+
+    for i in range(WARMUP_STEPS):
+        key, sub = jax.random.split(key)
+        params, state, opt_state, loss = train_step(
+            params, state, opt_state, batches[i % len(batches)], sub)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(BENCH_STEPS):
+        key, sub = jax.random.split(key)
+        params, state, opt_state, loss = train_step(
+            params, state, opt_state, batches[i % len(batches)], sub)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    eps = BENCH_STEPS * BATCH / dt
+    print(json.dumps({
+        "metric": "MSGIFSR train throughput (yoochoose-1/4 scale, 1 chip)",
+        "value": round(eps, 1),
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(eps / BASELINE_EPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

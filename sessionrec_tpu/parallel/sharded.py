@@ -17,7 +17,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sessionrec_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS,
@@ -80,7 +80,7 @@ def sharded_topk(mesh, log_probs, k: int):
         local, mesh=mesh,
         in_specs=P(DATA_AXIS, MODEL_AXIS),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
-        check_rep=False,
+        check_vma=False,
     )(log_probs)
 
 
