@@ -1,0 +1,307 @@
+"""Offline dataset preprocessing (reference: src/utils/data/preprocess.py).
+
+Behaviour-parity pipelines producing the common ``train.txt`` /
+``test.txt`` / ``num_items.txt`` format:
+
+* diginetica  — time-join eventdate+timeframe, filter, truncate to 20,
+  last-7-days test split (preprocess.py:154-175)
+* gowalla     — cols [0,1,4], 1-day session gap, top-30,000 items
+  (src/preprocess.py:43-50)
+* lastfm      — cols [0,1,2], 8-hour gap, top-40,000 items
+  (src/preprocess.py:51-57)
+* yoochoose   — stage-1 SR-GNN-style script (datasets/preprocess_yoochoose.py)
+  followed by the pickle->text conversion (preprocess.py:134-152), incl.
+  the 1/4 and 1/64 train slices.
+
+Written against pandas >= 2 (the reference used the 0.x API).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+
+# ---------------------------------------------------------------------------
+# generic steps (preprocess.py:6-132)
+# ---------------------------------------------------------------------------
+
+def get_session_id(df, interval):
+    df_prev = df.shift()
+    is_new_session = (df.userId != df_prev.userId) | (
+        df.timestamp - df_prev.timestamp > interval)
+    return is_new_session.cumsum() - 1
+
+
+def group_sessions(df, interval):
+    return df.assign(sessionId=get_session_id(df, interval))
+
+
+def filter_short_sessions(df, min_len=2):
+    session_len = df.groupby("sessionId", sort=False).size()
+    long_sessions = session_len[session_len >= min_len].index
+    return df[df.sessionId.isin(long_sessions)]
+
+
+def filter_infreq_items(df, min_support=5):
+    item_support = df.groupby("itemId", sort=False).size()
+    freq_items = item_support[item_support >= min_support].index
+    return df[df.itemId.isin(freq_items)]
+
+
+def filter_until_all_long_and_freq(df, min_len=2, min_support=5):
+    while True:
+        df_long = filter_short_sessions(df, min_len)
+        df_freq = filter_infreq_items(df_long, min_support)
+        if len(df_freq) == len(df):
+            break
+        df = df_freq
+    return df
+
+
+def truncate_long_sessions(df, max_len=20, is_sorted=False):
+    if not is_sorted:
+        df = df.sort_values(["sessionId", "timestamp"])
+    itemIdx = df.groupby("sessionId").cumcount()
+    return df[itemIdx < max_len]
+
+
+def update_id(df, field):
+    return df.assign(**{field: pd.factorize(df[field])[0]})
+
+
+def remove_immediate_repeats(df):
+    df_prev = df.shift()
+    keep = (df.sessionId != df_prev.sessionId) | (df.itemId != df_prev.itemId)
+    return df[keep]
+
+
+def reorder_sessions_by_endtime(df):
+    endtime = df.groupby("sessionId", sort=False).timestamp.max()
+    df_endtime = endtime.sort_values().reset_index()
+    oid2nid = dict(zip(df_endtime.sessionId, df_endtime.index))
+    df = df.assign(sessionId=df.sessionId.map(oid2nid))
+    return df.sort_values(["sessionId", "timestamp"])
+
+
+def keep_top_n_items(df, n):
+    item_support = df.groupby("itemId", sort=False).size()
+    top_items = item_support.nlargest(n).index
+    return df[df.itemId.isin(top_items)]
+
+
+def split_by_time(df, timedelta):
+    max_time = df.timestamp.max()
+    end_time = df.groupby("sessionId").timestamp.max()
+    split_time = max_time - timedelta
+    train_sids = end_time[end_time < split_time].index
+    test_sids = end_time[end_time > split_time].index
+    return df[df.sessionId.isin(train_sids)], df[df.sessionId.isin(test_sids)]
+
+
+def train_test_split(df, test_split=0.2):
+    endtime = df.groupby("sessionId", sort=False).timestamp.max().sort_values()
+    num_tests = int(len(endtime) * test_split)
+    test_sids = endtime.index[-num_tests:]
+    return df[~df.sessionId.isin(test_sids)], df[df.sessionId.isin(test_sids)]
+
+
+def save_sessions(df, filepath):
+    df = reorder_sessions_by_endtime(df)
+    sessions = df.groupby("sessionId").itemId.apply(
+        lambda x: ",".join(map(str, x)))
+    sessions.to_csv(filepath, sep="\t", header=False, index=False)
+
+
+def save_dataset(dataset_dir, df_train, df_test):
+    dataset_dir = Path(dataset_dir)
+    # drop test items unseen in train, re-filter short test sessions
+    df_test = df_test[df_test.itemId.isin(df_train.itemId.unique())]
+    df_test = filter_short_sessions(df_test)
+
+    print(f"No. of Clicks: {len(df_train) + len(df_test)}")
+    print(f"No. of Items: {df_train.itemId.nunique()}")
+
+    train_itemId_new, uniques = pd.factorize(df_train.itemId)
+    df_train = df_train.assign(itemId=train_itemId_new)
+    oid2nid = {oid: i for i, oid in enumerate(uniques)}
+    df_test = df_test.assign(itemId=df_test.itemId.map(oid2nid))
+
+    dataset_dir.mkdir(parents=True, exist_ok=True)
+    save_sessions(df_train, dataset_dir / "train.txt")
+    save_sessions(df_test, dataset_dir / "test.txt")
+    with open(dataset_dir / "num_items.txt", "w") as f:
+        f.write(str(len(uniques)))
+
+
+# ---------------------------------------------------------------------------
+# per-dataset pipelines
+# ---------------------------------------------------------------------------
+
+def preprocess_diginetica(dataset_dir, csv_file):
+    print(f"reading {csv_file}...")
+    df = pd.read_csv(csv_file, usecols=[0, 2, 3, 4], delimiter=";")
+    df["eventdate"] = pd.to_datetime(df.eventdate)
+    df["timestamp"] = df.eventdate + pd.to_timedelta(df.timeframe, unit="ms")
+    df = df.sort_values(["sessionId", "timestamp"])
+    df = filter_short_sessions(df)
+    df = truncate_long_sessions(df, is_sorted=True)
+    df = filter_infreq_items(df)
+    df = filter_short_sessions(df)
+    df_train, df_test = split_by_time(df, pd.Timedelta(days=7))
+    save_dataset(dataset_dir, df_train, df_test)
+
+
+def preprocess_gowalla_lastfm(dataset_dir, csv_file, usecols, interval, n):
+    print(f"reading {csv_file}...")
+    df = pd.read_csv(csv_file, sep="\t", header=None,
+                     names=["userId", "timestamp", "itemId"], usecols=usecols)
+    df.columns = ["userId", "timestamp", "itemId"]
+    df["timestamp"] = pd.to_datetime(df.timestamp, format="mixed")
+    df = df.dropna()
+    df = update_id(df, "userId")
+    df = update_id(df, "itemId")
+    df = df.sort_values(["userId", "timestamp"])
+    df = group_sessions(df, interval)
+    df = remove_immediate_repeats(df)
+    df = truncate_long_sessions(df, is_sorted=True)
+    df = keep_top_n_items(df, n)
+    df = filter_until_all_long_and_freq(df)
+    df_train, df_test = train_test_split(df, test_split=0.2)
+    save_dataset(dataset_dir, df_train, df_test)
+
+
+def preprocess_gowalla(dataset_dir, csv_file):
+    # cols [0,1,4], 1-day gap, top-30000 (src/preprocess.py:43-50)
+    preprocess_gowalla_lastfm(dataset_dir, csv_file, usecols=[0, 1, 4],
+                              interval=pd.Timedelta(days=1), n=30000)
+
+
+def preprocess_lastfm(dataset_dir, csv_file):
+    # cols [0,1,2], 8-hour gap, top-40000 (src/preprocess.py:51-57)
+    preprocess_gowalla_lastfm(dataset_dir, csv_file, usecols=[0, 1, 2],
+                              interval=pd.Timedelta(hours=8), n=40000)
+
+
+# ---------------------------------------------------------------------------
+# yoochoose: stage 1 (SR-GNN-style; datasets/preprocess_yoochoose.py)
+# ---------------------------------------------------------------------------
+
+def preprocess_yoochoose_stage1(dataset_dir, clicks_dat, max_len=19):
+    """Parse yoochoose-clicks.dat, filter, split test = last day, renumber
+    items in encounter order starting from 1, write 1/4 and 1/64 slices.
+
+    Mirrors datasets/preprocess_yoochoose.py:29-241 but emits the common
+    text format directly (the reference round-trips through pickles and
+    then converts in preprocess.py:134-152).  ``num_items`` = max item id
+    + 1 (the reference writes max item id, an off-by-one its own scripts
+    carry a commented `num_items += 5` fudge for, main_msgifsr.py:134 —
+    fixed here, documented).
+    """
+    import csv
+    import operator
+    from datetime import datetime
+
+    dataset_dir = Path(dataset_dir)
+    print(f"reading {clicks_dat}...")
+    sess_clicks = {}
+    sess_date = {}
+    with open(clicks_dat) as f:
+        reader = csv.DictReader(f, fieldnames=["session_id", "timestamp",
+                                               "item_id", "category"])
+        curid = -1
+        curdate = None
+        for data in reader:
+            sessid = data["session_id"]
+            if curdate and curid != sessid:
+                sess_date[curid] = datetime.strptime(
+                    curdate[:19], "%Y-%m-%dT%H:%M:%S").timestamp()
+            curid = sessid
+            sess_clicks.setdefault(sessid, []).append(data["item_id"])
+            curdate = data["timestamp"]
+        if curdate:
+            sess_date[curid] = datetime.strptime(
+                curdate[:19], "%Y-%m-%dT%H:%M:%S").timestamp()
+
+    # filter length-1 sessions
+    for s in list(sess_clicks):
+        if len(sess_clicks[s]) == 1:
+            del sess_clicks[s]
+            sess_date.pop(s, None)
+
+    # count item support, keep >= 5, re-filter short sessions
+    iid_counts = {}
+    for s in sess_clicks:
+        for iid in sess_clicks[s]:
+            iid_counts[iid] = iid_counts.get(iid, 0) + 1
+    for s in list(sess_clicks):
+        filseq = [i for i in sess_clicks[s] if iid_counts[i] >= 5]
+        if len(filseq) < 2:
+            del sess_clicks[s]
+            sess_date.pop(s, None)
+        else:
+            sess_clicks[s] = filseq
+
+    # test = sessions of the last day (preprocess_yoochoose.py:114)
+    dates = list(sess_date.items())
+    maxdate = max(d for _, d in dates)
+    splitdate = maxdate - 86400
+    tra_sess = sorted([(s, d) for s, d in dates if d < splitdate],
+                      key=operator.itemgetter(1))
+    tes_sess = sorted([(s, d) for s, d in dates if d > splitdate],
+                      key=operator.itemgetter(1))
+
+    # renumber items starting at 1 in train-encounter order
+    item_dict = {}
+    item_ctr = 1
+    train_seqs = []
+    for s, _ in tra_sess:
+        outseq = []
+        for i in sess_clicks[s]:
+            if i not in item_dict:
+                item_dict[i] = item_ctr
+                item_ctr += 1
+            outseq.append(item_dict[i])
+        if len(outseq) >= 2:
+            train_seqs.append(outseq[-max_len:] if max_len else outseq)
+    test_seqs = []
+    for s, _ in tes_sess:
+        outseq = [item_dict[i] for i in sess_clicks[s] if i in item_dict]
+        if len(outseq) >= 2:
+            test_seqs.append(outseq[-max_len:] if max_len else outseq)
+
+    print(f"train sessions: {len(train_seqs)}, test sessions: "
+          f"{len(test_seqs)}, items: {item_ctr - 1}")
+
+    def write(split_dir, train):
+        split_dir.mkdir(parents=True, exist_ok=True)
+        with open(split_dir / "train.txt", "w") as f:
+            for seq in train:
+                f.write(",".join(map(str, seq)) + "\n")
+        with open(split_dir / "test.txt", "w") as f:
+            for seq in test_seqs:
+                f.write(",".join(map(str, seq)) + "\n")
+        num_items = max((max(s) for s in train + test_seqs), default=0) + 1
+        with open(split_dir / "num_items.txt", "w") as f:
+            f.write(str(num_items))
+
+    # full + 1/4 + 1/64 slices of the train tail (preprocess_yoochoose.py:230-241)
+    write(dataset_dir / "yoochoose_full", train_seqs)
+    write(dataset_dir / "yoochoose1_4", train_seqs[-(len(train_seqs) // 4):])
+    write(dataset_dir / "yoochoose1_64", train_seqs[-(len(train_seqs) // 64):])
+
+
+def run(dataset: str, input_path: str, output_dir: str):
+    if dataset == "diginetica":
+        preprocess_diginetica(output_dir, input_path)
+    elif dataset == "gowalla":
+        preprocess_gowalla(output_dir, input_path)
+    elif dataset == "lastfm":
+        preprocess_lastfm(output_dir, input_path)
+    elif dataset in ("yoochoose", "yoochoose_stage1"):
+        preprocess_yoochoose_stage1(output_dir, input_path)
+    else:
+        raise ValueError(f"unknown dataset {dataset!r}")

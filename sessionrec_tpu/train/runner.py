@@ -120,16 +120,22 @@ class TrainRunner:
         for _ in range(epochs):
             epoch_t = time.time()
             epoch_examples = 0
+            pending_losses = []
             for batch in self.train_loader:
                 self.step_key, sub = jax.random.split(self.step_key)
                 (self.params, self.state, self.opt_state,
                  loss) = self.train_step(self.params, self.state,
                                          self.opt_state, batch, sub)
-                mean_loss += float(loss) / log_interval
+                # keep losses as device arrays — converting per step would
+                # force a host sync and serialise dispatch with compute
+                pending_losses.append(loss)
                 bsz = int(np.sum(np.asarray(batch.valid)))
                 interval_examples += bsz
                 epoch_examples += bsz
                 if self.batch > 0 and self.batch % log_interval == 0:
+                    mean_loss += float(sum(map(float, pending_losses))) \
+                        / log_interval
+                    pending_losses = []
                     dt = time.time() - t
                     log.info(
                         "batch %d: loss = %.4f, %.1f examples/s, %.2fs",
@@ -139,6 +145,8 @@ class TrainRunner:
                     mean_loss = 0.0
                     interval_examples = 0
                 self.batch += 1
+            if pending_losses:
+                jax.block_until_ready(pending_losses[-1])
 
             mrr, hit = self.evaluate()
             log.info("epoch %d: MRR = %.3f%%, Hit = %.3f%% "

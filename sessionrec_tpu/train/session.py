@@ -7,7 +7,24 @@ read dataset, optional tail valid-split, prefix-augmented loaders
 
 from __future__ import annotations
 
+import os
+
 import jax
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — the TPU eval/train step compiles
+    are minutes-long through a remote-compile tunnel; cache them on disk."""
+    cache_dir = os.environ.get("SESSIONREC_TPU_CACHE",
+                               os.path.expanduser("~/.cache/sessionrec_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the flags
+        pass
+
+
+_enable_compile_cache()
 
 from sessionrec_tpu.data.io import max_session_len, read_dataset
 from sessionrec_tpu.data.loader import BatchLoader

@@ -1,0 +1,52 @@
+"""End-to-end training smoke: loss decreases and metrics clear a floor on
+a slice of the reference's bundled sample dataset (the de-facto
+integration fixture, SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+SAMPLE_DIR = "/root/reference/datasets/sample"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SAMPLE_DIR),
+                                reason="sample dataset not present")
+
+
+def _run(model_name, n_sessions=1200, epochs=2, **model_overrides):
+    from sessionrec_tpu.data.io import read_dataset
+    from sessionrec_tpu.data.loader import BatchLoader
+    from sessionrec_tpu.models import build_model
+    from sessionrec_tpu.train.runner import TrainRunner
+    from sessionrec_tpu.utils.config import preset
+
+    cfg = preset(model_name, embedding_dim=32, **model_overrides)
+    train_sessions, test_sessions, num_items = read_dataset(SAMPLE_DIR)
+    train_sessions = train_sessions[:n_sessions]
+    test_sessions = test_sessions[:300]
+    kind = {"srgnn": "session", "niser": "session", "lessr": "lessr",
+            "msgifsr": "ccs"}[model_name]
+    tl = BatchLoader(train_sessions, kind, 256, 20,
+                     shuffle=cfg.data.shuffle_train, order=cfg.model.order)
+    el = BatchLoader(test_sessions, kind, 256, 20, order=cfg.model.order)
+    model = build_model(cfg.model, num_items)
+    runner = TrainRunner(model, tl, el, lr=1e-3, weight_decay=1e-4,
+                         patience=10, eval_before_train=False)
+    mrr, hit = runner.train(epochs, log_interval=10 ** 9)
+    return mrr, hit
+
+
+# floors calibrated from observed runs (srgnn 19%/5.6%, niser 28%/15%,
+# lessr 10%/3.9%, msgifsr 32%/23%) with ~2x headroom for seed noise;
+# random HR@20 on 3429 items would be 0.58%.
+@pytest.mark.parametrize("name,kw,n_sessions,epochs,hit_floor,mrr_floor", [
+    ("srgnn", {}, 10 ** 9, 3, 0.08, 0.02),
+    ("niser", {}, 10 ** 9, 3, 0.12, 0.06),
+    ("lessr", dict(num_layers=2), 3000, 2, 0.04, 0.015),
+    ("msgifsr", dict(order=2, extra=True, fusion=True), 3000, 2, 0.15, 0.10),
+])
+def test_convergence_floor(name, kw, n_sessions, epochs, hit_floor,
+                           mrr_floor):
+    mrr, hit = _run(name, n_sessions=n_sessions, epochs=epochs, **kw)
+    assert hit > hit_floor, (name, mrr, hit)
+    assert mrr > mrr_floor, (name, mrr, hit)
