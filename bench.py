@@ -30,8 +30,13 @@ BATCH = 512              # main_msgifsr.py:46
 ORDER = 1                # start.sh:10
 MAX_LEN = 20             # preprocess.py:45-50 session cap
 NUM_LAYERS = 1
-WARMUP_STEPS = 10
-BENCH_STEPS = 50
+# Device-side steps per dispatch (lax.scan chunk; the TrainRunner path).
+# At 64 the measurement is device-compute-bound — below that, per-call
+# dispatch through the remote-TPU tunnel (~0.7 ms/call) dominates.
+UNROLL = 64
+WARMUP_CALLS = 5
+BENCH_CALLS = 25         # 25 calls x 64 steps = 1600 optimizer steps / window
+BENCH_REPS = 3
 
 
 def synthetic_batches(n_batches, rng):
@@ -50,47 +55,70 @@ def synthetic_batches(n_batches, rng):
     return out
 
 
-def main():
+def run(compute_dtype="float32", quiet=False):
     import jax
     from sessionrec_tpu.models import MSGIFSR
     from sessionrec_tpu.train.optim import make_optimizer
-    from sessionrec_tpu.train.runner import make_train_step
+    from sessionrec_tpu.train.runner import (make_unrolled_train_step,
+                                             stack_batches)
 
     rng = np.random.default_rng(0)
     model = MSGIFSR(num_items=NUM_ITEMS, embedding_dim=EMBED_DIM,
-                    num_layers=NUM_LAYERS, feat_drop=0.1, order=ORDER)
+                    num_layers=NUM_LAYERS, feat_drop=0.1, order=ORDER,
+                    compute_dtype=compute_dtype)
     params, state = model.init(jax.random.PRNGKey(0))
     tx = make_optimizer(params, lr=1e-3, weight_decay=1e-4,
                         steps_per_epoch=1000)
     opt_state = tx.init(params)
-    train_step = make_train_step(model, tx)
+    train_step = make_unrolled_train_step(model, tx, UNROLL)
 
-    batches = synthetic_batches(8, rng)
-    batches = [jax.device_put(b) for b in batches]
+    chunk = jax.device_put(stack_batches(synthetic_batches(UNROLL, rng),
+                                         UNROLL))
     key = jax.random.PRNGKey(1)
 
-    for i in range(WARMUP_STEPS):
+    def call(params, state, opt_state, key):
         key, sub = jax.random.split(key)
-        params, state, opt_state, loss = train_step(
-            params, state, opt_state, batches[i % len(batches)], sub)
+        rngs = jax.random.split(sub, UNROLL)
+        params, state, opt_state, loss = train_step(params, state, opt_state,
+                                                    chunk, rngs)
+        return params, state, opt_state, key, loss
+
+    for _ in range(WARMUP_CALLS):
+        params, state, opt_state, key, loss = call(params, state, opt_state,
+                                                   key)
     jax.block_until_ready(loss)
 
-    t0 = time.perf_counter()
-    for i in range(BENCH_STEPS):
-        key, sub = jax.random.split(key)
-        params, state, opt_state, loss = train_step(
-            params, state, opt_state, batches[i % len(batches)], sub)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    # best-of-R windows: single-call dispatch noise (remote tunnel) is
+    # large relative to the compiled chunk time
+    best_dt = float("inf")
+    for _ in range(BENCH_REPS):
+        t0 = time.perf_counter()
+        for _ in range(BENCH_CALLS):
+            params, state, opt_state, key, loss = call(params, state,
+                                                       opt_state, key)
+        jax.block_until_ready(loss)
+        best_dt = min(best_dt, time.perf_counter() - t0)
 
-    eps = BENCH_STEPS * BATCH / dt
-    print(json.dumps({
-        "metric": "MSGIFSR train throughput (yoochoose-1/4 scale, 1 chip)",
-        "value": round(eps, 1),
-        "unit": "examples/sec/chip",
-        "vs_baseline": round(eps / BASELINE_EPS, 3),
-    }))
+    eps = BENCH_CALLS * UNROLL * BATCH / best_dt
+    if not quiet:
+        print(json.dumps({
+            "metric": "MSGIFSR train throughput (yoochoose-1/4 scale, 1 chip)",
+            "value": round(eps, 1),
+            "unit": "examples/sec/chip",
+            "vs_baseline": round(eps / BASELINE_EPS, 3),
+        }))
+    return eps
+
+
+def main():
+    run()
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--compare" in sys.argv:
+        for dt in ("float32", "bfloat16", "float32", "bfloat16"):
+            eps = run(dt, quiet=True)
+            print(f"{dt}: {eps:,.0f} examples/s")
+    else:
+        run("bfloat16" if "--bf16" in sys.argv else "float32")

@@ -42,6 +42,8 @@ def _add_train_flags(p):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--data-parallel", type=int, default=1)
     p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--unroll", type=int, default=8,
+                   help="device-side train steps per dispatch (lax.scan)")
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--max-epoch-batches", type=int, default=None,
@@ -84,6 +86,7 @@ def build_config(args):
     t.resume = args.resume
     t.data_parallel = args.data_parallel
     t.model_parallel = args.model_parallel
+    t.unroll = args.unroll
     return cfg
 
 

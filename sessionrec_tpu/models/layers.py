@@ -27,6 +27,21 @@ class RngGen:
         return sub
 
 
+def cast_floats(tree, dtype):
+    """Cast every floating leaf of a param pytree to ``dtype`` (no-op for
+    None).  Used to run layer compute in bfloat16 while the master params
+    (and optimizer state) stay float32 — gradients flow back through the
+    cast, so updates land on the f32 masters."""
+    if dtype is None:
+        return tree
+
+    def c(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree_util.tree_map(c, tree)
+
+
 def dropout(rng, x, rate: float, training: bool):
     """Inverted dropout matching torch nn.Dropout semantics."""
     if not training or rate == 0.0 or rng is None:
@@ -48,9 +63,9 @@ def prelu(p, x):
 
 
 def l2norm(x, eps=1e-12, axis=-1):
-    """torch F.normalize: x / max(||x||, eps)."""
-    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(n, eps)
+    """torch F.normalize: x / max(||x||, eps) (norm computed in f32)."""
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -64,8 +79,12 @@ def batchnorm_apply(p, state, x, mask=None, *, training, momentum=0.1,
     ``mask`` (same leading shape) restricts statistics to real rows — in
     the reference BN sees only real (unpadded) nodes, so padded rows must
     not contaminate batch statistics.  Running update uses torch's
-    unbiased variance; normalisation uses the biased one.
+    unbiased variance; normalisation uses the biased one.  Statistics and
+    the normalisation itself always run in float32 (bf16 variance is
+    numerically unusable); output returns in the input dtype.
     """
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)
     C = x.shape[-1]
     xf = x.reshape(-1, C)
     if training:
@@ -86,8 +105,9 @@ def batchnorm_apply(p, state, x, mask=None, *, training, momentum=0.1,
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
-    y = (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
-    return y, new_state
+    y = ((x - mean) * jax.lax.rsqrt(var + eps)
+         * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32))
+    return y.astype(in_dtype), new_state
 
 
 # ---------------------------------------------------------------------------

@@ -44,19 +44,27 @@ class LESSR:
     num_layers: int
     batch_norm: bool = True
     feat_drop: float = 0.0
+    compute_dtype: str = "float32"
 
     graph_kind = "lessr"
     has_max_norm = True
+    has_plain_head = True
+    scale = 1.0
 
     @classmethod
     def from_config(cls, cfg, num_items):
         return cls(num_items=num_items, embedding_dim=cfg.embedding_dim,
                    num_layers=cfg.num_layers, batch_norm=cfg.batch_norm,
-                   feat_drop=cfg.feat_drop)
+                   feat_drop=cfg.feat_drop, compute_dtype=cfg.compute_dtype)
 
     @property
     def padded_items(self):
         return scoring.pad_catalog(self.num_items)
+
+    @property
+    def cdt(self):
+        return None if self.compute_dtype == "float32" \
+            else jnp.dtype(self.compute_dtype)
 
     def init(self, key):
         d = self.embedding_dim
@@ -89,11 +97,19 @@ class LESSR:
         params["embedding"] = renorm_rows(params["embedding"], 1.0)
         return params
 
-    def apply(self, params, state, batch, *, training=False, rng=None):
+    def head(self, params, state, batch, *, training=False, rng=None):
+        """(sr, table, new_state); logits = sr @ table^T (scale 1)."""
         rng = L.RngGen(rng) if rng is not None else None
+        cdt = self.cdt
+        cp = L.cast_floats({k: v for k, v in params.items()
+                            if k != "embedding"}, cdt)
         new_state = {"layers": []}
         feat = params["embedding"][batch.node_iid]
-        for i, (lp, ls) in enumerate(zip(params["layers"], state["layers"])):
+        if cdt is not None:
+            feat = feat.astype(cdt)
+        batch = batch if cdt is None else batch.replace(
+            sc_adj=batch.sc_adj.astype(cdt))
+        for i, (lp, ls) in enumerate(zip(cp["layers"], state["layers"])):
             if i % 2 == 0:
                 out, ns = L.eopa_apply(lp, ls, feat, batch.node_mask,
                                        batch.mail_idx, batch.mail_mask, rng,
@@ -107,17 +123,23 @@ class LESSR:
             new_state["layers"].append(ns)
             feat = jnp.concatenate([out, feat], axis=-1)   # dense concat growth
         sr_g, new_state["readout"] = L.attn_readout_apply(
-            params["readout"], state["readout"], feat, batch.node_mask,
+            cp["readout"], state["readout"], feat, batch.node_mask,
             batch.last_idx, rng, feat_drop=self.feat_drop, training=training)
         sr_l = jnp.take_along_axis(
             feat, batch.last_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
         sr = jnp.concatenate([sr_l, sr_g], axis=-1)
         if self.batch_norm:
-            sr, new_state["bn"] = L.batchnorm_apply(params["bn"], state["bn"],
+            sr, new_state["bn"] = L.batchnorm_apply(cp["bn"], state["bn"],
                                                     sr, batch.valid,
                                                     training=training)
-        sr = L.linear(params["fc_sr"], L.dropout(rng, sr, self.feat_drop,
-                                                 training))
+        sr = L.linear(cp["fc_sr"], L.dropout(rng, sr, self.feat_drop,
+                                             training))
+        return sr, params["embedding"], new_state
+
+    def apply(self, params, state, batch, *, training=False, rng=None):
+        sr, table, new_state = self.head(params, state, batch,
+                                         training=training, rng=rng)
         imask = scoring.item_mask(self.num_items, self.padded_items)
-        log_probs = scoring.log_softmax_scores(sr, params["embedding"], imask)
+        log_probs = scoring.log_softmax_scores(sr, table, imask,
+                                               compute_dtype=self.cdt)
         return log_probs, new_state

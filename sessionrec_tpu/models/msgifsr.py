@@ -53,21 +53,36 @@ class MSGIFSR:
     norm: bool = True
     extra: bool = False
     fusion: bool = False
+    compute_dtype: str = "float32"
 
     graph_kind = "ccs"
     has_max_norm = True
     num_heads = 8
+    scale = 12.0
 
     @classmethod
     def from_config(cls, cfg, num_items):
         return cls(num_items=num_items, embedding_dim=cfg.embedding_dim,
                    num_layers=cfg.num_layers, feat_drop=cfg.feat_drop,
                    reducer=cfg.reducer, order=cfg.order, norm=cfg.norm,
-                   extra=cfg.extra, fusion=cfg.fusion)
+                   extra=cfg.extra, fusion=cfg.fusion,
+                   compute_dtype=cfg.compute_dtype)
 
     @property
     def padded_items(self):
         return scoring.pad_catalog(self.num_items)
+
+    @property
+    def cdt(self):
+        return None if self.compute_dtype == "float32" \
+            else jnp.dtype(self.compute_dtype)
+
+    @property
+    def has_plain_head(self):
+        """Without REnorm the loss reduces to softmax-CE of 12 * the
+        order-1 logits (no-fusion takes score[:, 0], msgifsr.py:316-317;
+        fusion over K=1 is the identity)."""
+        return (not self.extra) and (self.order == 1 or not self.fusion)
 
     def init(self, key):
         d, K = self.embedding_dim, self.order
@@ -112,13 +127,16 @@ class MSGIFSR:
 
     # -- pieces ------------------------------------------------------------
 
-    def _embed_levels(self, params, batch, rng, training):
+    def _embed_levels(self, params, cp, batch, rng, training):
+        cdt = self.cdt
         feats = []
         for l in range(1, self.order + 1):
             lv = batch.levels[l - 1]
             feat = params["embedding"][lv.iid]              # [B, Nk, k, d]
+            if cdt is not None:
+                feat = feat.astype(cdt)
             feat = L.dropout(rng, feat, self.feat_drop, training)
-            feat = L.semantic_expander_apply(params["expander"], feat, l,
+            feat = L.semantic_expander_apply(cp["expander"], feat, l,
                                              self.reducer)
             if self.norm:
                 feat = L.l2norm(feat)
@@ -155,39 +173,59 @@ class MSGIFSR:
 
     # -- forward -----------------------------------------------------------
 
-    def apply(self, params, state, batch, *, training=False, rng=None):
-        rng = L.RngGen(rng) if rng is not None else None
+    def _session_repr(self, params, batch, rng, training):
+        """Per-order session vectors ``sr [B, K, d]`` + scoring table
+        (both in compute dtype when one is set)."""
+        cdt = self.cdt
         K = self.order
-        feats = self._embed_levels(params, batch, rng, training)
+        cp = L.cast_floats({k: params[k] for k in ("expander", "layers",
+                                                   "readout", "fc_sr",
+                                                   "sc_sr")}, cdt)
+        feats = self._embed_levels(params, cp, batch, rng, training)
         h = feats
-        for lp in params["layers"]:
+        for lp in cp["layers"]:
             h = L.mshgnn_apply(lp, h, batch, rng, feat_drop=self.feat_drop,
                                training=training, num_heads=self.num_heads)
         if self.norm:
             h = [L.l2norm(x) for x in h]
-        sr_g = self._readout(params, batch, h)
+        sr_g = self._readout(cp, batch, h)
         sr_l = jnp.stack([
             jnp.take_along_axis(h[i], batch.levels[i].last_idx[:, None, None]
                                 .astype(jnp.int32), axis=1)[:, 0]
             for i in range(K)], axis=1)
         sr = jnp.concatenate([sr_l, sr_g], axis=-1)         # [B, K, 2d]
-        sr = jnp.stack([L.linear(params["fc_sr"][i], sr[:, i])
+        sr = jnp.stack([L.linear(cp["fc_sr"][i], sr[:, i])
                         for i in range(K)], axis=1)         # [B, K, d]
         if self.norm:
             sr = L.l2norm(sr)
         table = params["embedding"]
         if self.norm:
             table = L.l2norm(table)
+        if cdt is not None:
+            table = table.astype(cdt)
+        return sr, table, cp
+
+    def head(self, params, state, batch, *, training=False, rng=None):
+        """(sr, table, new_state) for the fused softmax-CE path
+        (valid when ``has_plain_head``; logits scale is 12)."""
+        rng = L.RngGen(rng) if rng is not None else None
+        sr, table, _ = self._session_repr(params, batch, rng, training)
+        return sr[:, 0], table, state
+
+    def apply(self, params, state, batch, *, training=False, rng=None):
+        rng = L.RngGen(rng) if rng is not None else None
+        K = self.order
+        sr, table, cp = self._session_repr(params, batch, rng, training)
         imask = scoring.item_mask(self.num_items, self.padded_items)
         logits = jnp.einsum("bkd,pd->bkp", sr, table,
                             preferred_element_type=jnp.float32)
 
         if self.extra:
             # REnorm: separate softmaxes over in-session / out-of-session
-            sc = params["sc_sr"][0]
+            sc = cp["sc_sr"][0]
             phi = jax.nn.softmax(
-                L.linear(sc["l2"], jax.nn.relu(L.linear(sc["l1"], sr))),
-                axis=-1)                                    # [B, K, 2]
+                L.linear(sc["l2"], jax.nn.relu(L.linear(sc["l1"], sr)))
+                .astype(jnp.float32), axis=-1)              # [B, K, 2]
             smask = self._session_item_mask(batch)          # [B, P]
             in_mask = (smask * imask)[:, None, :]
             ex_mask = ((1.0 - smask) * imask)[:, None, :]

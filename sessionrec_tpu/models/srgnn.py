@@ -29,19 +29,29 @@ class SRGNN:
     num_layers: int
     feat_drop: float = 0.0
     readout_on_embedding: bool = True
+    compute_dtype: str = "float32"
 
     graph_kind = "session"
     has_max_norm = False
+    has_plain_head = True   # loss is plain (scaled) softmax-CE over catalog
+    scale = 1.0
 
     @classmethod
     def from_config(cls, cfg, num_items):
         return cls(num_items=num_items, embedding_dim=cfg.embedding_dim,
                    num_layers=cfg.num_layers, feat_drop=cfg.feat_drop,
-                   readout_on_embedding=cfg.readout_on_embedding)
+                   readout_on_embedding=cfg.readout_on_embedding,
+                   compute_dtype=cfg.compute_dtype)
 
     @property
     def padded_items(self):
         return scoring.pad_catalog(self.num_items)
+
+    @property
+    def cdt(self):
+        """Compute dtype for the hot matmuls (None = float32 everywhere)."""
+        return None if self.compute_dtype == "float32" \
+            else jnp.dtype(self.compute_dtype)
 
     def init(self, key):
         d = self.embedding_dim
@@ -62,24 +72,43 @@ class SRGNN:
     def project_params(self, params):
         return params
 
-    def apply(self, params, state, batch, *, training=False, rng=None):
+    def head(self, params, state, batch, *, training=False, rng=None):
+        """Session representation + scoring table: ``(sr, table, new_state)``.
+
+        ``scale * sr @ table^T`` (see ``self.scale``) are the catalog
+        logits; apply() turns them into log-probs, the trainer feeds them
+        to the fused softmax-CE kernel directly.
+        """
         rng = L.RngGen(rng) if rng is not None else None
+        cdt = self.cdt
+        cp = L.cast_floats({k: params[k] for k in ("layers", "readout",
+                                                   "fc_sr")}, cdt)
         emb = params["embedding"][batch.node_iid]
+        if cdt is not None:
+            emb = emb.astype(cdt)
+        adj = batch.adj if cdt is None else batch.adj.astype(cdt)
         feat = L.dropout(rng, emb, self.feat_drop, training)
         out = feat
-        for lp in params["layers"]:
-            out = L.srgnn_layer_apply(lp, out, batch.adj, rng,
+        for lp in cp["layers"]:
+            out = L.srgnn_layer_apply(lp, out, adj, rng,
                                       feat_drop=self.feat_drop,
                                       training=training)
         ro_feat = feat if self.readout_on_embedding else out
-        sr_g, _ = L.attn_readout_apply(params["readout"], {}, ro_feat,
+        sr_g, _ = L.attn_readout_apply(cp["readout"], {}, ro_feat,
                                        batch.node_mask, batch.last_idx, rng,
                                        feat_drop=self.feat_drop,
                                        training=training)
         sr_l = jnp.take_along_axis(
             ro_feat, batch.last_idx[:, None, None].astype(jnp.int32),
             axis=1)[:, 0]
-        sr = L.linear(params["fc_sr"], jnp.concatenate([sr_l, sr_g], axis=-1))
+        sr = L.linear(cp["fc_sr"], jnp.concatenate([sr_l, sr_g], axis=-1))
+        return sr, params["embedding"], state
+
+    def apply(self, params, state, batch, *, training=False, rng=None):
+        sr, table, new_state = self.head(params, state, batch,
+                                         training=training, rng=rng)
         imask = scoring.item_mask(self.num_items, self.padded_items)
-        log_probs = scoring.log_softmax_scores(sr, params["embedding"], imask)
-        return log_probs, state
+        log_probs = scoring.log_softmax_scores(sr, table, imask,
+                                               scale=self.scale,
+                                               compute_dtype=self.cdt)
+        return log_probs, new_state

@@ -28,15 +28,21 @@ def masked_softmax(e, mask, axis: int):
     mask is entirely 0 return all-zero probabilities (matching DGL's
     behaviour for zero-in-degree destination nodes, where no message is
     delivered at all).
+
+    The exp-normalise always runs in float32 (attention weights in
+    bfloat16 lose rank fidelity); the result is cast back to the input
+    dtype so surrounding bf16 compute stays bf16.
     """
+    in_dtype = e.dtype
     mask = mask.astype(bool)
-    e = jnp.where(mask, e, NEG_INF)
+    e = jnp.where(mask, e.astype(jnp.float32), NEG_INF)
     m = jnp.max(e, axis=axis, keepdims=True)
     # Guard: for an all-masked row m == NEG_INF; shift so exp() is finite.
     m = jnp.maximum(m, NEG_INF * 0.5)
     ex = jnp.where(mask, jnp.exp(e - m), 0.0)
     s = jnp.sum(ex, axis=axis, keepdims=True)
-    return ex / jnp.maximum(s, jnp.finfo(ex.dtype).tiny)
+    out = ex / jnp.maximum(s, jnp.finfo(ex.dtype).tiny)
+    return out.astype(in_dtype)
 
 
 def masked_sum(x, mask, axis: int):

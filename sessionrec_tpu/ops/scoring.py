@@ -29,21 +29,29 @@ def item_mask(num_items: int, padded: int, dtype=jnp.float32):
     return (jnp.arange(padded) < num_items).astype(dtype)
 
 
-def catalog_logits(sr, table):
-    """sr [.., d] @ table[P, d]^T -> [.., P] in f32 accumulation."""
+def catalog_logits(sr, table, compute_dtype=None):
+    """sr [.., d] @ table[P, d]^T -> [.., P] in f32 accumulation.
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) casts the matmul *inputs* so the
+    MXU runs at bf16 rate; accumulation stays float32 either way.
+    """
+    if compute_dtype is not None:
+        sr = sr.astype(compute_dtype)
+        table = table.astype(compute_dtype)
     return jax.lax.dot_general(
         sr, table,
         dimension_numbers=(((sr.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
-def log_softmax_scores(sr, table, imask, scale: float = 1.0):
+def log_softmax_scores(sr, table, imask, scale: float = 1.0,
+                       compute_dtype=None):
     """log(softmax(scale * sr @ table^T)) over real items.
 
     Padded columns get ~NEG_INF log-probability.  Matches
     ``th.log(softmax(...))`` (srgnn.py:147 / niser.py:154).
     """
-    logits = scale * catalog_logits(sr, table)
+    logits = scale * catalog_logits(sr, table, compute_dtype)
     logits = jnp.where(imask.astype(bool), logits, NEG_INF)
     return jax.nn.log_softmax(logits, axis=-1)
 

@@ -46,6 +46,59 @@ def make_train_step(model, tx):
     return jax.jit(train_step, donate_argnums=(0, 1, 2))
 
 
+def make_unrolled_train_step(model, tx, unroll: int):
+    """Device-side training loop: one jitted call runs ``unroll``
+    sequential optimizer steps via ``lax.scan`` over a stacked chunk of
+    batches.
+
+    Per-step host dispatch is the single-chip bottleneck (the compiled
+    step itself is ~10x faster than one Python dispatch round-trip), so
+    the input pipeline stacks G batches into one ``[G, ...]`` pytree and
+    the whole chunk runs as one XLA program — the TPU-native equivalent
+    of the reference's DataLoader+step loop (train.py:94-101), with
+    identical math and batch order.
+
+    A chunk's tail may be padded with all-invalid batches (epoch end);
+    those steps are skipped entirely under ``lax.cond`` so weight decay
+    and the LR schedule's step count see exactly the real batches.
+    """
+
+    def one_step(carry, xs):
+        params, state, opt_state = carry
+        batch, rng = xs
+
+        def do(operand):
+            params, state, opt_state = operand
+            params = model.project_params(params)
+
+            def loss_fn(p):
+                log_probs, new_state = model.apply(p, state, batch,
+                                                   training=True, rng=rng)
+                loss = scoring.nll_loss(log_probs, batch.labels, batch.valid)
+                return loss, new_state
+
+            (loss, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_state, opt_state), loss
+
+        def skip(operand):
+            return operand, jnp.float32(0.0)
+
+        has_valid = jnp.sum(batch.valid) > 0
+        carry, loss = jax.lax.cond(has_valid, do, skip,
+                                   (params, state, opt_state))
+        return carry, loss
+
+    def multi_step(params, state, opt_state, batches, rngs):
+        (params, state, opt_state), losses = jax.lax.scan(
+            one_step, (params, state, opt_state), (batches, rngs))
+        return params, state, opt_state, losses
+
+    return jax.jit(multi_step, donate_argnums=(0, 1, 2))
+
+
 def make_eval_step(model, cutoff=20):
     """Jitted eval step -> (hit_count, mrr_sum, num_valid) per batch."""
 
@@ -63,11 +116,59 @@ def make_eval_step(model, cutoff=20):
     return jax.jit(eval_step)
 
 
-def evaluate(eval_step, params, state, loader):
+def make_unrolled_eval_step(model, cutoff=20):
+    """Jitted scan over a stacked chunk of eval batches -> summed
+    (hit_count, mrr_sum, num_valid).  Padded all-invalid batches
+    contribute zero."""
+
+    def eval_chunk(params, state, batches):
+        params = model.project_params(params)
+
+        def one(carry, batch):
+            log_probs, _ = model.apply(params, state, batch, training=False,
+                                       rng=None)
+            ranks = scoring.topk_ranks(log_probs, batch.labels, cutoff)
+            v = batch.valid
+            hit = jnp.sum((ranks > 0) * v)
+            mrr = jnp.sum(jnp.where(ranks > 0,
+                                    1.0 / jnp.maximum(ranks, 1), 0.0) * v)
+            h, m, n = carry
+            return (h + hit, m + mrr, n + jnp.sum(v)), None
+
+        zero = jnp.float32(0.0)
+        (h, m, n), _ = jax.lax.scan(one, (zero, zero, zero), batches)
+        return h, m, n
+
+    return jax.jit(eval_chunk)
+
+
+def stack_batches(chunk, pad_to: int):
+    """Stack a list of batch pytrees into one [G, ...] pytree, padding the
+    tail with all-invalid zero batches to the static chunk size."""
+    if len(chunk) < pad_to:
+        zero = jax.tree_util.tree_map(lambda x: np.zeros_like(np.asarray(x)),
+                                      chunk[0])
+        chunk = list(chunk) + [zero] * (pad_to - len(chunk))
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *chunk)
+
+
+def _chunks(iterable, size: int):
+    buf = []
+    for item in iterable:
+        buf.append(item)
+        if len(buf) == size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def evaluate(eval_chunk_step, params, state, loader, unroll: int = 8):
     """HR@cutoff / MRR@cutoff over a loader (reference: train.py:36-55)."""
     hit = mrr = n = 0.0
-    for batch in loader:
-        h, m, c = eval_step(params, state, batch)
+    for chunk in _chunks(loader, unroll):
+        h, m, c = eval_chunk_step(params, state,
+                                  stack_batches(chunk, unroll))
         hit += float(h)
         mrr += float(m)
         n += float(c)
@@ -79,7 +180,7 @@ class TrainRunner:
     def __init__(self, model, train_loader, test_loader, *, lr=1e-3,
                  weight_decay=1e-4, patience=3, seed=123, cutoff=20,
                  lr_step_size=3, lr_gamma=0.1, eval_before_train=True,
-                 checkpointer=None):
+                 checkpointer=None, unroll=8):
         self.model = model
         self.train_loader = train_loader
         self.test_loader = test_loader
@@ -87,6 +188,7 @@ class TrainRunner:
         self.cutoff = cutoff
         self.eval_before_train = eval_before_train
         self.checkpointer = checkpointer
+        self.unroll = max(int(unroll), 1)
 
         key = jax.random.PRNGKey(seed)
         self.init_key, self.step_key = jax.random.split(key)
@@ -95,22 +197,23 @@ class TrainRunner:
                                  steps_per_epoch=len(train_loader),
                                  lr_step_size=lr_step_size, lr_gamma=lr_gamma)
         self.opt_state = self.tx.init(self.params)
-        self.train_step = make_train_step(model, self.tx)
-        self.eval_step = make_eval_step(model, cutoff)
+        self.train_step = make_unrolled_train_step(model, self.tx,
+                                                   self.unroll)
+        self.eval_step = make_unrolled_eval_step(model, cutoff)
         self.epoch = 0
         self.batch = 0
 
     def evaluate(self):
         return evaluate(self.eval_step, self.params, self.state,
-                        self.test_loader)
+                        self.test_loader, unroll=self.unroll)
 
     def train(self, epochs, log_interval=100):
         max_mrr = 0.0
         max_hit = 0.0
         bad_counter = 0
         t = time.time()
-        mean_loss = 0.0
         interval_examples = 0
+        interval_batches = 0
 
         if self.eval_before_train:
             mrr, hit = self.evaluate()
@@ -121,20 +224,28 @@ class TrainRunner:
             epoch_t = time.time()
             epoch_examples = 0
             pending_losses = []
-            for batch in self.train_loader:
+            loss = None
+            for chunk in _chunks(self.train_loader, self.unroll):
+                real = len(chunk)
+                batches = stack_batches(chunk, self.unroll)
                 self.step_key, sub = jax.random.split(self.step_key)
+                rngs = jax.random.split(sub, self.unroll)
                 (self.params, self.state, self.opt_state,
                  loss) = self.train_step(self.params, self.state,
-                                         self.opt_state, batch, sub)
-                # keep losses as device arrays — converting per step would
+                                         self.opt_state, batches, rngs)
+                # keep losses as device arrays — converting per chunk would
                 # force a host sync and serialise dispatch with compute
-                pending_losses.append(loss)
-                bsz = int(np.sum(np.asarray(batch.valid)))
+                pending_losses.append((loss, real))
+                bsz = int(sum(np.sum(np.asarray(b.valid)) for b in chunk))
                 interval_examples += bsz
                 epoch_examples += bsz
-                if self.batch > 0 and self.batch % log_interval == 0:
-                    mean_loss += float(sum(map(float, pending_losses))) \
-                        / log_interval
+                interval_batches += real
+                self.batch += real
+                if interval_batches >= log_interval:
+                    n_real = sum(r for _, r in pending_losses)
+                    mean_loss = float(sum(float(jnp.sum(l))
+                                          for l, _ in pending_losses)) \
+                        / max(n_real, 1)
                     pending_losses = []
                     dt = time.time() - t
                     log.info(
@@ -142,11 +253,10 @@ class TrainRunner:
                         self.batch, mean_loss,
                         interval_examples / max(dt, 1e-9), dt)
                     t = time.time()
-                    mean_loss = 0.0
                     interval_examples = 0
-                self.batch += 1
-            if pending_losses:
-                jax.block_until_ready(pending_losses[-1])
+                    interval_batches = 0
+            if loss is not None:
+                jax.block_until_ready(loss)
 
             mrr, hit = self.evaluate()
             log.info("epoch %d: MRR = %.3f%%, Hit = %.3f%% "

@@ -83,7 +83,7 @@ def run_training(cfg, max_epoch_batches=None):
         cutoff=cfg.train.cutoff, lr_step_size=cfg.train.lr_step_size,
         lr_gamma=cfg.train.lr_gamma,
         eval_before_train=cfg.train.eval_before_train,
-        checkpointer=checkpointer)
+        checkpointer=checkpointer, unroll=cfg.train.unroll)
     if checkpointer is not None and cfg.train.resume:
         checkpointer.restore_latest(runner)
     return runner.train(cfg.train.epochs, cfg.train.log_interval)

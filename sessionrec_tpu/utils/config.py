@@ -63,6 +63,9 @@ class TrainConfig:
     lr_gamma: float = 0.1
     cutoff: int = 20              # HR@K / MRR@K
     eval_before_train: bool = True  # reference evaluates once pre-training (train.py:91)
+    # device-side steps per dispatch (lax.scan chunk); math is identical
+    # to per-step dispatch, ~10x faster on TPU (dispatch-bound workload)
+    unroll: int = 8
     # new capabilities (absent in reference, flag-gated)
     checkpoint_dir: str | None = None
     checkpoint_every_epochs: int = 1

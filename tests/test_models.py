@@ -148,3 +148,42 @@ def test_padded_rows_do_not_affect_real_rows():
     lp4, _ = model.apply(params, state, SessionGraphBatch(**d4))
     np.testing.assert_allclose(np.asarray(lp2), np.asarray(lp4)[:2],
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("make", [
+    lambda: SRGNN(num_items=NUM_ITEMS, embedding_dim=16, num_layers=1,
+                  compute_dtype="bfloat16"),
+    lambda: NISER(num_items=NUM_ITEMS, embedding_dim=16, num_layers=1,
+                  compute_dtype="bfloat16"),
+    lambda: LESSR(num_items=NUM_ITEMS, embedding_dim=16, num_layers=2,
+                  compute_dtype="bfloat16"),
+    lambda: MSGIFSR(num_items=NUM_ITEMS, embedding_dim=16, num_layers=1,
+                    order=2, extra=True, fusion=True,
+                    compute_dtype="bfloat16"),
+])
+def test_bfloat16_compute_path(make):
+    """bf16 compute must stay finite, normalised, and close to f32 in both
+    values and gradients (f32 masters, bf16 matmuls, f32 accumulation)."""
+    model = make()
+    model32 = model.__class__(**{**model.__dict__, "compute_dtype": "float32"})
+    params, state = model.init(jax.random.PRNGKey(0))
+    if model.graph_kind == "session":
+        batch = session_batch()
+    elif model.graph_kind == "lessr":
+        batch = lessr_batch()
+    else:
+        batch = ccs_batch(order=2)
+
+    lp16, _ = model.apply(params, state, batch, training=False, rng=None)
+    lp32, _ = model32.apply(params, state, batch, training=False, rng=None)
+    assert lp16.dtype == jnp.float32          # log-probs stay f32
+    _check_logprobs(lp16, NUM_ITEMS)
+    real = np.asarray(lp32)[:, :NUM_ITEMS]
+    got = np.asarray(lp16)[:, :NUM_ITEMS]
+    # bf16 has ~3 significant digits; log-probs land within ~1e-1
+    np.testing.assert_allclose(got, real, atol=0.15)
+
+    g16 = jax.grad(lambda p: loss_fn_for(model, p, state, batch))(params)
+    assert g16["embedding"].dtype == jnp.float32   # grads on f32 masters
+    flat = jax.tree_util.tree_leaves(g16)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)

@@ -1,0 +1,113 @@
+"""The unrolled (lax.scan) train/eval steps must be numerically identical
+to per-step dispatch — same losses, same params — including when the
+final chunk is padded with all-invalid batches (the padded steps must be
+skipped entirely, preserving weight-decay and LR-schedule semantics)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sessionrec_tpu.graph import builders
+from sessionrec_tpu.graph.batch import SessionGraphBatch
+from sessionrec_tpu.models import NISER
+from sessionrec_tpu.train.optim import make_optimizer
+from sessionrec_tpu.train.runner import (make_eval_step,
+                                         make_train_step,
+                                         make_unrolled_eval_step,
+                                         make_unrolled_train_step,
+                                         stack_batches)
+
+NUM_ITEMS = 80
+MAX_LEN = 6
+B = 8
+
+
+def _batches(n, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        seqs = [list(rng.integers(0, NUM_ITEMS,
+                                  size=rng.integers(1, MAX_LEN + 1)))
+                for _ in range(B)]
+        labels = list(rng.integers(0, NUM_ITEMS, size=B))
+        out.append(SessionGraphBatch(
+            **builders.build_session_batch(seqs, labels, MAX_LEN, B)))
+    return out
+
+
+def _fresh():
+    model = NISER(num_items=NUM_ITEMS, embedding_dim=16, num_layers=1,
+                  feat_drop=0.0)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(params, lr=1e-2, weight_decay=1e-4,
+                        steps_per_epoch=10)
+    return model, params, state, tx
+
+
+def test_unrolled_matches_per_step():
+    batches = _batches(6)
+    rngs = jax.random.split(jax.random.PRNGKey(1), 6)
+
+    model, params, state, tx = _fresh()
+    multi = make_unrolled_train_step(model, tx, 6)
+    p1, s1, o1, losses = multi(params, state, tx.init(params),
+                               stack_batches(batches, 6), rngs)
+
+    model, params, state, tx = _fresh()
+    single = make_train_step(model, tx)
+    p2, s2, o2 = params, state, tx.init(params)
+    l2 = []
+    for i in range(6):
+        p2, s2, o2, l = single(p2, s2, o2, batches[i], rngs[i])
+        l2.append(float(l))
+
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_padded_chunk_steps_are_skipped():
+    """3 real batches padded to a chunk of 6: identical result to running
+    exactly the 3 real steps (no spurious weight decay / opt count)."""
+    batches = _batches(3, seed=2)
+    rngs = jax.random.split(jax.random.PRNGKey(3), 6)
+
+    model, params, state, tx = _fresh()
+    multi = make_unrolled_train_step(model, tx, 6)
+    p1, _, o1, losses = multi(params, state, tx.init(params),
+                              stack_batches(batches, 6), rngs)
+    assert np.allclose(np.asarray(losses)[3:], 0.0)
+
+    model, params, state, tx = _fresh()
+    single = make_train_step(model, tx)
+    p2, s2, o2 = params, state, tx.init(params)
+    for i in range(3):
+        p2, s2, o2, _ = single(p2, s2, o2, batches[i], rngs[i])
+
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # optimizer step count advanced by exactly 3
+    counts = [int(x) for x in jax.tree_util.tree_leaves(o1)
+              if np.asarray(x).dtype == np.int32 and np.asarray(x).ndim == 0]
+    assert 3 in counts, counts
+
+
+def test_unrolled_eval_matches_per_batch():
+    batches = _batches(5, seed=4)
+    model, params, state, _ = _fresh()
+    ev1 = make_unrolled_eval_step(model, cutoff=20)
+    h1, m1, n1 = ev1(params, state, stack_batches(batches, 5))
+    ev2 = make_eval_step(model, cutoff=20)
+    h2 = m2 = n2 = 0.0
+    for b in batches:
+        h, m, n = ev2(params, state, b)
+        h2 += float(h)
+        m2 += float(m)
+        n2 += float(n)
+    assert float(n1) == n2 == 5 * B
+    np.testing.assert_allclose(float(h1), h2)
+    np.testing.assert_allclose(float(m1), m2, rtol=1e-6)
