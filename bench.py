@@ -21,8 +21,11 @@ import time
 import numpy as np
 
 # Round-1 self-measured baseline (examples/sec/chip) for this exact config
-# on one TPU v5e chip.  Update only when the config changes.
-BASELINE_EPS = 699974.0
+# on one TPU v5e chip, measured with a HARD host-transfer sync (an earlier
+# recorded 699,974 used block_until_ready, which does not fence on the
+# remote-tunnel backend and timed only dispatch).  Update only when the
+# config changes.
+BASELINE_EPS = 53132.0
 
 NUM_ITEMS = 37484        # yoochoose-1/4 catalog (preprocess_yoochoose.py:154)
 EMBED_DIM = 256          # main_msgifsr.py:39
@@ -57,6 +60,7 @@ def synthetic_batches(n_batches, rng):
 
 def run(compute_dtype="float32", quiet=False):
     import jax
+    import jax.numpy as jnp
     from sessionrec_tpu.models import MSGIFSR
     from sessionrec_tpu.train.optim import make_optimizer
     from sessionrec_tpu.train.runner import (make_unrolled_train_step,
@@ -83,10 +87,16 @@ def run(compute_dtype="float32", quiet=False):
                                                     chunk, rngs)
         return params, state, opt_state, key, loss
 
+    def hard_sync(x):
+        # block_until_ready is NOT a reliable fence on the remote-TPU
+        # tunnel backend (it returns before execution completes); a host
+        # transfer of a value data-dependent on the whole step is.
+        return float(np.asarray(jnp.sum(x)))
+
     for _ in range(WARMUP_CALLS):
         params, state, opt_state, key, loss = call(params, state, opt_state,
                                                    key)
-    jax.block_until_ready(loss)
+    hard_sync(loss)
 
     # best-of-R windows: single-call dispatch noise (remote tunnel) is
     # large relative to the compiled chunk time
@@ -96,7 +106,7 @@ def run(compute_dtype="float32", quiet=False):
         for _ in range(BENCH_CALLS):
             params, state, opt_state, key, loss = call(params, state,
                                                        opt_state, key)
-        jax.block_until_ready(loss)
+        hard_sync(loss)
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     eps = BENCH_CALLS * UNROLL * BATCH / best_dt

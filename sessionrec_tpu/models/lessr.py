@@ -50,6 +50,7 @@ class LESSR:
     has_max_norm = True
     has_plain_head = True
     scale = 1.0
+    table_norm = False
 
     @classmethod
     def from_config(cls, cfg, num_items):

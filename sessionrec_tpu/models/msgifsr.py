@@ -198,16 +198,16 @@ class MSGIFSR:
                         for i in range(K)], axis=1)         # [B, K, d]
         if self.norm:
             sr = L.l2norm(sr)
-        table = params["embedding"]
-        if self.norm:
-            table = L.l2norm(table)
-        if cdt is not None:
-            table = table.astype(cdt)
-        return sr, table, cp
+        return sr, params["embedding"], cp
+
+    @property
+    def table_norm(self):
+        return self.norm
 
     def head(self, params, state, batch, *, training=False, rng=None):
-        """(sr, table, new_state) for the fused softmax-CE path
-        (valid when ``has_plain_head``; logits scale is 12)."""
+        """(sr, raw table, new_state) for the fused softmax-CE path
+        (valid when ``has_plain_head``; logits scale is 12; the kernel
+        folds in l2norm(table) when ``table_norm``)."""
         rng = L.RngGen(rng) if rng is not None else None
         sr, table, _ = self._session_repr(params, batch, rng, training)
         return sr[:, 0], table, state
@@ -216,6 +216,10 @@ class MSGIFSR:
         rng = L.RngGen(rng) if rng is not None else None
         K = self.order
         sr, table, cp = self._session_repr(params, batch, rng, training)
+        if self.norm:
+            table = L.l2norm(table)
+        if self.cdt is not None:
+            table = table.astype(self.cdt)
         imask = scoring.item_mask(self.num_items, self.padded_items)
         logits = jnp.einsum("bkd,pd->bkp", sr, table,
                             preferred_element_type=jnp.float32)

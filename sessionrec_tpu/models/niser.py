@@ -35,6 +35,12 @@ class NISER:
     has_max_norm = False
     has_plain_head = True
 
+    @property
+    def table_norm(self):
+        """Scoring normalizes the catalog table (folded into the fused
+        Pallas kernel on the training path, niser.py:149-151)."""
+        return self.norm
+
     @classmethod
     def from_config(cls, cfg, num_items):
         return cls(num_items=num_items, embedding_dim=cfg.embedding_dim,
@@ -72,7 +78,9 @@ class NISER:
         return params
 
     def head(self, params, state, batch, *, training=False, rng=None):
-        """(sr, table, new_state); logits = self.scale * sr @ table^T."""
+        """(sr, table, new_state); logits = self.scale * sr @
+        l2norm(table)^T when ``table_norm`` — the table is returned *raw*
+        so the fused kernel can fold the normalization in."""
         rng = L.RngGen(rng) if rng is not None else None
         cdt = self.cdt
         cp = L.cast_floats({k: params[k] for k in ("layers", "readout",
@@ -100,15 +108,15 @@ class NISER:
             ro_feat, batch.last_idx[:, None, None].astype(jnp.int32),
             axis=1)[:, 0]
         sr = L.linear(cp["fc_sr"], jnp.concatenate([sr_l, sr_g], axis=-1))
-        table = params["embedding"]
         if self.norm:
             sr = L.l2norm(sr)
-            table = L.l2norm(table)
-        return sr, table, state
+        return sr, params["embedding"], state
 
     def apply(self, params, state, batch, *, training=False, rng=None):
         sr, table, new_state = self.head(params, state, batch,
                                          training=training, rng=rng)
+        if self.norm:
+            table = L.l2norm(table)
         imask = scoring.item_mask(self.num_items, self.padded_items)
         scale = self.scale if self.scale else 1.0
         log_probs = scoring.log_softmax_scores(sr, table, imask, scale=scale,

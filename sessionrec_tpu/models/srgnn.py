@@ -35,6 +35,7 @@ class SRGNN:
     has_max_norm = False
     has_plain_head = True   # loss is plain (scaled) softmax-CE over catalog
     scale = 1.0
+    table_norm = False
 
     @classmethod
     def from_config(cls, cfg, num_items):

@@ -1,0 +1,322 @@
+"""Fused full-catalog softmax cross-entropy (Pallas TPU kernel).
+
+Every model's training loss is ``nll(log_softmax(scale * sr @ table^T))``
+over the whole item catalog (reference: srgnn.py:145-147, niser.py:152-156,
+lessr.py:182-183, msgifsr.py:306-309 + train.py:99).  Done naively, XLA
+materialises the ``[B, P]`` logits in HBM three times per step (forward
+logits, log-softmax, and the recompute mirror in backward) — at yoochoose
+scale that is ~76 MB per pass, and the op is HBM-bound, not MXU-bound.
+
+This module implements the flash-softmax treatment of that loss:
+
+* **forward** streams the catalog in ``[TILE_P, D]`` tiles through one
+  Pallas kernel, keeping a running row max / sum-exp / label-logit in VMEM
+  — the ``[B, P]`` logits never exist in HBM; outputs are the per-row loss
+  and the log-partition (the only residual backward needs).
+* **backward** re-streams the same tiles, forms the softmax tile on the
+  fly, and accumulates ``d_sr`` in VMEM while writing ``d_table`` tile by
+  tile — again no ``[B, P]`` intermediate.
+
+FLOPs triple-matmul cost is unchanged (that is the speed-of-light part,
+it runs on the MXU); what disappears is every HBM round-trip of the
+logits.  Numerics: logits always accumulate in float32
+(``preferred_element_type``) even when ``sr``/``table`` are bfloat16, and
+the softmax/log-sum-exp runs in float32.
+
+On non-TPU backends ``fused_nll_loss`` falls back to an equivalent pure
+jnp implementation (same math; used as the parity oracle in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sessionrec_tpu.ops.masked import NEG_INF
+
+# Catalog tile streamed per grid step.  The padded catalog must be a
+# multiple of this (scoring.pad_catalog pads to LANE=128; the wrapper
+# re-pads the table to TILE_P here, which costs at most TILE_P-128 zero
+# rows that are masked out of the softmax anyway).
+TILE_P = 512
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+_NORM_EPS = 1e-12   # torch F.normalize eps (layers.l2norm)
+
+
+def _row_norms(tab):
+    """Per-row L2 norm of a [TP, D] tile, f32, shape [TP, 1]."""
+    t = tab.astype(jnp.float32)
+    return jnp.sqrt(jnp.sum(t * t, axis=1, keepdims=True))
+
+
+def _fwd_kernel(num_items, scale, normalize_table, sr_ref, tab_ref, lbl_ref,
+                loss_ref, lse_ref, m_s, s_s, zl_s):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        s_s[:] = jnp.zeros_like(s_s)
+        zl_s[:] = jnp.zeros_like(zl_s)
+
+    # [B, TILE_P] logits tile, f32 accumulation on the MXU
+    z = scale * jax.lax.dot_general(
+        sr_ref[:], tab_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if normalize_table:
+        # fold l2norm(table) into the logits: divide each column by the
+        # row norm of its table row — no separate [P, D] pass over HBM
+        n = _row_norms(tab_ref[:])                       # [TP, 1]
+        z = z / jnp.maximum(n, _NORM_EPS)[:, 0][None, :]
+    col = j * TILE_P + jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    z = jnp.where(col < num_items, z, NEG_INF)
+
+    # label logit extraction (labels always < num_items)
+    lbl = lbl_ref[:]                                     # [B, 1] int32
+    zl_s[:] += jnp.sum(jnp.where(col == lbl, z, 0.0), axis=1, keepdims=True)
+
+    # online log-sum-exp
+    m_tile = jnp.max(z, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_s[:], m_tile)
+    # guard: exp(NEG_INF - NEG_INF) on the first all-masked tile
+    m_safe = jnp.maximum(m_new, NEG_INF * 0.5)
+    s_s[:] = s_s[:] * jnp.exp(m_s[:] - m_safe) + \
+        jnp.sum(jnp.exp(z - m_safe), axis=1, keepdims=True)
+    m_s[:] = m_new
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        lse = jnp.maximum(m_s[:], NEG_INF * 0.5) + \
+            jnp.log(jnp.maximum(s_s[:], jnp.finfo(jnp.float32).tiny))
+        lse_ref[:] = lse
+        loss_ref[:] = lse - zl_s[:]
+
+
+def _fwd_pallas(sr, table, labels, *, scale, num_items, normalize_table):
+    B, D = sr.shape
+    P = table.shape[0]
+    grid = P // TILE_P
+    kernel = functools.partial(_fwd_kernel, num_items, scale,
+                               normalize_table)
+    out_shape = [jax.ShapeDtypeStruct((B, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((B, 1), jnp.float32)]
+    loss, lse = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((B, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_P, D), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((B, 1), jnp.float32)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * P,
+            bytes_accessed=P * D * sr.dtype.itemsize + B * D * 4,
+            transcendentals=B * P),
+        interpret=_interpret(),
+    )(sr, table, labels[:, None].astype(jnp.int32))
+    return loss[:, 0], lse[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(num_items, scale, mxu_dtype, normalize_table, g_ref, sr_ref,
+                tab_ref, lbl_ref, lse_ref, dsr_ref, dtab_ref):
+    j = pl.program_id(0)
+
+    if normalize_table:
+        n = jnp.maximum(_row_norms(tab_ref[:]), _NORM_EPS)    # [TP, 1]
+        that = (tab_ref[:].astype(jnp.float32) / n)           # normalized tile
+        tmm = that.astype(mxu_dtype)
+    else:
+        tmm = tab_ref[:].astype(mxu_dtype)
+
+    z = scale * jax.lax.dot_general(
+        sr_ref[:], tmm,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    col = j * TILE_P + jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    p = jnp.where(col < num_items, jnp.exp(z - lse_ref[:]), 0.0)
+    onehot = (col == lbl_ref[:]).astype(jnp.float32)
+    dz = ((p - onehot) * (scale * g_ref[:])).astype(mxu_dtype)   # [B, TP]
+
+    # grad wrt the (normalized) table tile: dz^T @ sr -> [TP, D]
+    gtab = jax.lax.dot_general(
+        dz, sr_ref[:].astype(mxu_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if normalize_table:
+        # VJP of t_hat = t / max(||t||, eps):
+        #   dt = (G - (G . t_hat) t_hat * [n > eps]) / max(n, eps)
+        gdot = jnp.sum(gtab * that, axis=1, keepdims=True)
+        live = (n > _NORM_EPS).astype(jnp.float32)
+        gtab = (gtab - gdot * that * live) / n
+    dtab_ref[:] = gtab.astype(dtab_ref.dtype)
+
+    # d_sr accumulates across tiles: dz @ t_hat -> [B, D]
+    contrib = jax.lax.dot_general(
+        dz, tmm,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        dsr_ref[:] = jnp.zeros_like(dsr_ref)
+
+    dsr_ref[:] += contrib
+
+
+def _bwd_pallas(g, sr, table, labels, lse, *, scale, num_items,
+                normalize_table):
+    B, D = sr.shape
+    P = table.shape[0]
+    grid = P // TILE_P
+    # bf16 inputs -> run the two backward matmuls at bf16 MXU rate
+    # (f32 accumulation); f32 inputs stay f32.
+    mxu_dtype = sr.dtype if sr.dtype == jnp.bfloat16 else jnp.float32
+    kernel = functools.partial(_bwd_kernel, num_items, scale, mxu_dtype,
+                               normalize_table)
+    dsr, dtab = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_P, D), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_P, D), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, D), jnp.float32),
+                   jax.ShapeDtypeStruct((P, D), table.dtype)],
+        scratch_shapes=[],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * B * D * P,
+            bytes_accessed=2 * P * D * sr.dtype.itemsize + B * D * 4,
+            transcendentals=B * P),
+        interpret=_interpret(),
+    )(g[:, None].astype(jnp.float32), sr, table,
+      labels[:, None].astype(jnp.int32), lse[:, None])
+    return dsr, dtab
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp op + public wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _catalog_xent(sr, table, labels, scale, num_items, normalize_table):
+    loss, _ = _fwd_pallas(sr, table, labels, scale=scale,
+                          num_items=num_items,
+                          normalize_table=normalize_table)
+    return loss
+
+
+def _catalog_xent_fwd(sr, table, labels, scale, num_items, normalize_table):
+    loss, lse = _fwd_pallas(sr, table, labels, scale=scale,
+                            num_items=num_items,
+                            normalize_table=normalize_table)
+    return loss, (sr, table, labels, lse)
+
+
+def _catalog_xent_bwd(scale, num_items, normalize_table, res, g):
+    sr, table, labels, lse = res
+    dsr, dtab = _bwd_pallas(g, sr, table, labels, lse, scale=scale,
+                            num_items=num_items,
+                            normalize_table=normalize_table)
+    return dsr.astype(sr.dtype), dtab, None
+
+
+_catalog_xent.defvjp(_catalog_xent_fwd, _catalog_xent_bwd)
+
+
+def catalog_xent(sr, table, labels, *, scale: float, num_items: int,
+                 normalize_table: bool = False):
+    """Per-row ``-log softmax(scale * sr @ table^T)[label]`` (Pallas).
+
+    ``sr [B, D]``, ``table [P, D]`` (rows >= num_items are padding and are
+    excluded from the softmax), ``labels [B]`` int.  Returns ``[B]`` f32.
+    Pads B/D/P to hardware-friendly multiples internally.
+
+    ``normalize_table=True`` scores against ``l2norm(table)`` with the
+    normalization folded into the kernel (forward AND backward) — the
+    separate ``[P, D]`` normalisation pass and its autodiff mirror never
+    touch HBM (NISER niser.py:149-151 / MSGIFSR msgifsr.py:276-279
+    normalize the catalog every step).
+    """
+    B, D = sr.shape
+    P = table.shape[0]
+    Bp, Dp, Pp = _round_up(B, 8), _round_up(D, _LANE), _round_up(P, TILE_P)
+    srp = jnp.pad(sr, ((0, Bp - B), (0, Dp - D)))
+    tabp = jnp.pad(table, ((0, Pp - P), (0, Dp - D)))
+    lblp = jnp.pad(labels, (0, Bp - B))
+    loss = _catalog_xent(srp, tabp, lblp, float(scale), int(num_items),
+                         bool(normalize_table))
+    return loss[:B]
+
+
+def reference_xent(sr, table, labels, *, scale: float, num_items: int,
+                   normalize_table: bool = False):
+    """Pure-jnp oracle with identical semantics (used on CPU + in tests)."""
+    if normalize_table:
+        n = jnp.linalg.norm(table.astype(jnp.float32), axis=-1,
+                            keepdims=True)
+        table = table / jnp.maximum(n, _NORM_EPS).astype(table.dtype)
+    logits = scale * jax.lax.dot_general(
+        sr, table, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    imask = jnp.arange(table.shape[0]) < num_items
+    logits = jnp.where(imask[None, :], logits, NEG_INF)
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(lp, labels[:, None].astype(jnp.int32),
+                                axis=-1)[:, 0]
+
+
+def fused_nll_loss(sr, table, labels, valid, *, scale: float, num_items: int,
+                   normalize_table: bool = False,
+                   use_pallas: bool | None = None):
+    """Masked-mean catalog cross-entropy (train.py:99 semantics).
+
+    ``use_pallas=None`` auto-selects: the Pallas kernel on TPU, the jnp
+    oracle elsewhere (the interpreter would work but is needlessly slow
+    inside the CPU test trainer).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    fn = catalog_xent if use_pallas else reference_xent
+    per_row = fn(sr, table, labels, scale=scale, num_items=num_items,
+                 normalize_table=normalize_table)
+    v = valid.astype(per_row.dtype)
+    return jnp.sum(per_row * v) / jnp.maximum(jnp.sum(v), 1.0)

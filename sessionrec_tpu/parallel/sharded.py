@@ -50,7 +50,10 @@ def make_sharded_steps(model, tx, mesh, cutoff=20):
     The bodies are identical to the single-chip ones — sharding is
     carried entirely by operand placement (GSPMD).
     """
-    train_step = make_train_step(model, tx)
+    # fused=False: the Pallas xent kernel assumes unsharded operands; under
+    # GSPMD the XLA softmax-CE path shards cleanly (logits [data, model],
+    # psum for the log-sum-exp).  Sharded flash-CE is a later milestone.
+    train_step = make_train_step(model, tx, fused=False)
     eval_step = make_eval_step(model, cutoff)
     return train_step, eval_step
 

@@ -18,25 +18,49 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from sessionrec_tpu.ops import scoring
+from sessionrec_tpu.ops import scoring, xent
 from sessionrec_tpu.train.optim import make_optimizer
 from sessionrec_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
 
 
-def make_train_step(model, tx):
+def make_loss_fn(model, state, batch, rng, *, fused=True):
+    """Training-loss closure over params.
+
+    When the model's loss is plain softmax-CE over the catalog
+    (``has_plain_head``), routes through the fused Pallas kernel
+    (ops/xent.py): the ``[B, num_items]`` logits never hit HBM, and the
+    catalog-table l2norm (``table_norm``) folds into the same kernel.
+    Otherwise (MSGIFSR with REnorm/fusion) falls back to the model's
+    full log-prob path + nll.
+    """
+    if fused and getattr(model, "has_plain_head", False):
+        def loss_fn(p):
+            sr, table, new_state = model.head(p, state, batch,
+                                              training=True, rng=rng)
+            loss = xent.fused_nll_loss(
+                sr, table, batch.labels, batch.valid,
+                scale=float(model.scale) if model.scale else 1.0,
+                num_items=model.num_items,
+                normalize_table=getattr(model, "table_norm", False))
+            return loss, new_state
+        return loss_fn
+
+    def loss_fn(p):
+        log_probs, new_state = model.apply(p, state, batch,
+                                           training=True, rng=rng)
+        loss = scoring.nll_loss(log_probs, batch.labels, batch.valid)
+        return loss, new_state
+    return loss_fn
+
+
+def make_train_step(model, tx, *, fused=True):
     """Build the jitted train step: project -> fwd -> bwd -> Adam."""
 
     def train_step(params, state, opt_state, batch, rng):
         params = model.project_params(params)   # torch max_norm semantics
-
-        def loss_fn(p):
-            log_probs, new_state = model.apply(p, state, batch,
-                                               training=True, rng=rng)
-            loss = scoring.nll_loss(log_probs, batch.labels, batch.valid)
-            return loss, new_state
-
+        loss_fn = make_loss_fn(model, state, batch, rng, fused=fused)
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -46,7 +70,7 @@ def make_train_step(model, tx):
     return jax.jit(train_step, donate_argnums=(0, 1, 2))
 
 
-def make_unrolled_train_step(model, tx, unroll: int):
+def make_unrolled_train_step(model, tx, unroll: int, *, fused=True):
     """Device-side training loop: one jitted call runs ``unroll``
     sequential optimizer steps via ``lax.scan`` over a stacked chunk of
     batches.
@@ -70,13 +94,7 @@ def make_unrolled_train_step(model, tx, unroll: int):
         def do(operand):
             params, state, opt_state = operand
             params = model.project_params(params)
-
-            def loss_fn(p):
-                log_probs, new_state = model.apply(p, state, batch,
-                                                   training=True, rng=rng)
-                loss = scoring.nll_loss(log_probs, batch.labels, batch.valid)
-                return loss, new_state
-
+            loss_fn = make_loss_fn(model, state, batch, rng, fused=fused)
             (loss, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -180,7 +198,7 @@ class TrainRunner:
     def __init__(self, model, train_loader, test_loader, *, lr=1e-3,
                  weight_decay=1e-4, patience=3, seed=123, cutoff=20,
                  lr_step_size=3, lr_gamma=0.1, eval_before_train=True,
-                 checkpointer=None, unroll=8):
+                 checkpointer=None, unroll=8, fused=True):
         self.model = model
         self.train_loader = train_loader
         self.test_loader = test_loader
@@ -198,7 +216,7 @@ class TrainRunner:
                                  lr_step_size=lr_step_size, lr_gamma=lr_gamma)
         self.opt_state = self.tx.init(self.params)
         self.train_step = make_unrolled_train_step(model, self.tx,
-                                                   self.unroll)
+                                                   self.unroll, fused=fused)
         self.eval_step = make_unrolled_eval_step(model, cutoff)
         self.epoch = 0
         self.batch = 0
