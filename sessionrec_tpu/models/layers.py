@@ -43,12 +43,15 @@ def cast_floats(tree, dtype):
 
 
 def dropout(rng, x, rate: float, training: bool):
-    """Inverted dropout matching torch nn.Dropout semantics."""
+    """Inverted dropout matching torch nn.Dropout semantics.
+
+    Routes through the Pallas hardware-PRNG kernel on TPU
+    (ops/dropout.py) — threefry mask generation was ~1.5 ms/step on the
+    MSGIFSR bench config."""
     if not training or rate == 0.0 or rng is None:
         return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng.next(), keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0)
+    from sessionrec_tpu.ops.dropout import dropout as fused_dropout
+    return fused_dropout(rng.next(), x, rate)
 
 
 def linear(p, x):
@@ -278,13 +281,21 @@ def gat_apply(p, f_src, f_dst, adj, rng, *, num_heads, feat_drop, attn_drop,
     ``[B, Nd, H, dh]`` — head reduction happens in the caller (MSHGNN
     takes max over heads, msgifsr.py:84-85).
     """
-    h_src = dropout(rng, f_src, feat_drop, training)
-    h_dst = dropout(rng, f_dst, feat_drop, training)
+    if f_src is f_dst:
+        # homogeneous relation: DGL applies feat_drop once and reuses the
+        # tensor for both roles (gatconv.py:283-284) — one mask, not two
+        h_src = h_dst = dropout(rng, f_src, feat_drop, training)
+    else:
+        h_src = dropout(rng, f_src, feat_drop, training)
+        h_dst = dropout(rng, f_dst, feat_drop, training)
     B, Ns = h_src.shape[0], h_src.shape[1]
     Nd = h_dst.shape[1]
     dh = p["attn_l"].shape[-1]
     fs = (h_src @ p["fc"].T).reshape(B, Ns, num_heads, dh)
-    fd = (h_dst @ p["fc"].T).reshape(B, Nd, num_heads, dh)
+    # homogeneous relation: src and dst projections are the same matmul
+    # (the [*, d] @ [d, H*dh] projection is a dominant-cost op)
+    fd = fs if h_src is h_dst else \
+        (h_dst @ p["fc"].T).reshape(B, Nd, num_heads, dh)
     el = jnp.sum(fs * p["attn_l"], axis=-1)               # [B, Ns, H]
     er = jnp.sum(fd * p["attn_r"], axis=-1)               # [B, Nd, H]
     e = jax.nn.leaky_relu(el[:, :, None, :] + er[:, None, :, :], 0.2)
