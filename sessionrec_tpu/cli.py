@@ -48,6 +48,10 @@ def _add_train_flags(p):
                    choices=["float32", "bfloat16"])
     p.add_argument("--max-epoch-batches", type=int, default=None,
                    help="cap batches per epoch (smoke runs)")
+    p.add_argument("--metrics-file", default=None,
+                   help="append structured train/eval metrics as JSONL")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the run here")
 
 
 def build_config(args):
@@ -87,6 +91,8 @@ def build_config(args):
     t.data_parallel = args.data_parallel
     t.model_parallel = args.model_parallel
     t.unroll = args.unroll
+    t.metrics_file = args.metrics_file
+    t.profile_dir = args.profile_dir
     return cfg
 
 

@@ -62,6 +62,16 @@ def batch_sharding(mesh: Mesh, batch):
     return jax.tree_util.tree_map(spec, batch)
 
 
+def chunk_sharding(mesh: Mesh, chunk):
+    """Shard a stacked ``[G, B, ...]`` chunk of batches (runner.py
+    ``stack_batches``) along the batch axis (axis 1); the scan axis G
+    stays replicated."""
+    def spec(leaf):
+        return NamedSharding(mesh,
+                             P(None, DATA_AXIS, *([None] * (leaf.ndim - 2))))
+    return jax.tree_util.tree_map(spec, chunk)
+
+
 def replicated(mesh: Mesh, tree):
     return jax.tree_util.tree_map(
         lambda _: NamedSharding(mesh, P()), tree)

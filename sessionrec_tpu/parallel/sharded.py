@@ -87,6 +87,43 @@ def sharded_topk(mesh, log_probs, k: int):
     )(log_probs)
 
 
+def _topk_metrics(mesh, log_probs, labels, valid, cutoff):
+    """(hit_count, mrr_sum, n_valid) of one batch via distributed top-k."""
+    log_probs = jax.lax.with_sharding_constraint(
+        log_probs, NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)))
+    _, idx = sharded_topk(mesh, log_probs, cutoff)
+    hit = idx == labels[:, None]
+    rank = jnp.argmax(hit, axis=-1) + 1
+    ranks = jnp.where(jnp.any(hit, axis=-1), rank, 0)
+    hit_c = jnp.sum((ranks > 0) * valid)
+    mrr = jnp.sum(jnp.where(ranks > 0, 1.0 / jnp.maximum(ranks, 1), 0.0)
+                  * valid)
+    return hit_c, mrr, jnp.sum(valid)
+
+
+def make_sharded_unrolled_eval_step(model, mesh, cutoff=20):
+    """Mesh counterpart of runner.make_unrolled_eval_step: scan over a
+    stacked chunk of eval batches, per-batch distributed top-k over the
+    catalog shards, summed (hit, mrr, n)."""
+
+    def eval_chunk(params, state, batches):
+        params = model.project_params(params)
+
+        def one(carry, batch):
+            log_probs, _ = model.apply(params, state, batch, training=False,
+                                       rng=None)
+            hit, mrr, n = _topk_metrics(mesh, log_probs, batch.labels,
+                                        batch.valid, cutoff)
+            h, m, c = carry
+            return (h + hit, m + mrr, c + n), None
+
+        zero = jnp.float32(0.0)
+        (h, m, n), _ = jax.lax.scan(one, (zero, zero, zero), batches)
+        return h, m, n
+
+    return jax.jit(eval_chunk)
+
+
 def make_sharded_eval_step(model, mesh, cutoff=20):
     """Eval step whose top-k uses the shard_map candidate-merge path."""
 
@@ -94,16 +131,7 @@ def make_sharded_eval_step(model, mesh, cutoff=20):
         params = model.project_params(params)
         log_probs, _ = model.apply(params, state, batch, training=False,
                                    rng=None)
-        log_probs = jax.lax.with_sharding_constraint(
-            log_probs, NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)))
-        _, idx = sharded_topk(mesh, log_probs, cutoff)
-        hit = idx == batch.labels[:, None]
-        rank = jnp.argmax(hit, axis=-1) + 1
-        ranks = jnp.where(jnp.any(hit, axis=-1), rank, 0)
-        v = batch.valid
-        hit_c = jnp.sum((ranks > 0) * v)
-        mrr = jnp.sum(jnp.where(ranks > 0, 1.0 / jnp.maximum(ranks, 1), 0.0)
-                      * v)
-        return hit_c, mrr, jnp.sum(v)
+        return _topk_metrics(mesh, log_probs, batch.labels, batch.valid,
+                             cutoff)
 
     return jax.jit(eval_step)

@@ -181,12 +181,15 @@ def _chunks(iterable, size: int):
         yield buf
 
 
-def evaluate(eval_chunk_step, params, state, loader, unroll: int = 8):
+def evaluate(eval_chunk_step, params, state, loader, unroll: int = 8,
+             place=None):
     """HR@cutoff / MRR@cutoff over a loader (reference: train.py:36-55)."""
     hit = mrr = n = 0.0
     for chunk in _chunks(loader, unroll):
-        h, m, c = eval_chunk_step(params, state,
-                                  stack_batches(chunk, unroll))
+        stacked = stack_batches(chunk, unroll)
+        if place is not None:
+            stacked = place(stacked)
+        h, m, c = eval_chunk_step(params, state, stacked)
         hit += float(h)
         mrr += float(m)
         n += float(c)
@@ -195,10 +198,17 @@ def evaluate(eval_chunk_step, params, state, loader, unroll: int = 8):
 
 
 class TrainRunner:
+    """Training loop.  With ``mesh`` (a (data, model) ``jax.sharding.Mesh``)
+    the same pure step functions run GSPMD-sharded: the embedding table is
+    row-sharded over ``model``, batches are sharded over ``data``, and
+    evaluation merges per-shard top-k candidates (parallel/sharded.py).
+    """
+
     def __init__(self, model, train_loader, test_loader, *, lr=1e-3,
                  weight_decay=1e-4, patience=3, seed=123, cutoff=20,
                  lr_step_size=3, lr_gamma=0.1, eval_before_train=True,
-                 checkpointer=None, unroll=8, fused=True):
+                 checkpointer=None, unroll=8, fused=True, mesh=None,
+                 metrics=None):
         self.model = model
         self.train_loader = train_loader
         self.test_loader = test_loader
@@ -207,6 +217,8 @@ class TrainRunner:
         self.eval_before_train = eval_before_train
         self.checkpointer = checkpointer
         self.unroll = max(int(unroll), 1)
+        self.mesh = mesh
+        self.metrics = metrics
 
         key = jax.random.PRNGKey(seed)
         self.init_key, self.step_key = jax.random.split(key)
@@ -214,16 +226,38 @@ class TrainRunner:
         self.tx = make_optimizer(self.params, lr, weight_decay,
                                  steps_per_epoch=len(train_loader),
                                  lr_step_size=lr_step_size, lr_gamma=lr_gamma)
-        self.opt_state = self.tx.init(self.params)
+        if mesh is not None:
+            # the fused Pallas xent kernel assumes unsharded operands; under
+            # GSPMD the XLA softmax-CE path shards cleanly
+            fused = False
+            from sessionrec_tpu.parallel.mesh import replicated
+            from sessionrec_tpu.parallel.sharded import (
+                make_sharded_unrolled_eval_step, place_params)
+            self.params = place_params(mesh, self.params)
+            self.state = jax.device_put(self.state,
+                                        replicated(mesh, self.state))
+            self.opt_state = jax.jit(self.tx.init)(self.params)
+            self.eval_step = make_sharded_unrolled_eval_step(model, mesh,
+                                                             cutoff)
+        else:
+            self.opt_state = self.tx.init(self.params)
+            self.eval_step = make_unrolled_eval_step(model, cutoff)
         self.train_step = make_unrolled_train_step(model, self.tx,
                                                    self.unroll, fused=fused)
-        self.eval_step = make_unrolled_eval_step(model, cutoff)
         self.epoch = 0
         self.batch = 0
 
+    def _place(self, stacked):
+        """Place a stacked [G, B, ...] chunk with data-axis sharding."""
+        if self.mesh is None:
+            return stacked
+        from sessionrec_tpu.parallel.mesh import chunk_sharding
+        return jax.device_put(stacked, chunk_sharding(self.mesh, stacked))
+
     def evaluate(self):
         return evaluate(self.eval_step, self.params, self.state,
-                        self.test_loader, unroll=self.unroll)
+                        self.test_loader, unroll=self.unroll,
+                        place=self._place)
 
     def train(self, epochs, log_interval=100):
         max_mrr = 0.0
@@ -245,7 +279,7 @@ class TrainRunner:
             loss = None
             for chunk in _chunks(self.train_loader, self.unroll):
                 real = len(chunk)
-                batches = stack_batches(chunk, self.unroll)
+                batches = self._place(stack_batches(chunk, self.unroll))
                 self.step_key, sub = jax.random.split(self.step_key)
                 rngs = jax.random.split(sub, self.unroll)
                 (self.params, self.state, self.opt_state,
@@ -270,6 +304,11 @@ class TrainRunner:
                         "batch %d: loss = %.4f, %.1f examples/s, %.2fs",
                         self.batch, mean_loss,
                         interval_examples / max(dt, 1e-9), dt)
+                    if self.metrics is not None:
+                        self.metrics.log(
+                            "train", step=self.batch, epoch=self.epoch,
+                            loss=mean_loss,
+                            examples_per_s=interval_examples / max(dt, 1e-9))
                     t = time.time()
                     interval_examples = 0
                     interval_batches = 0
@@ -281,6 +320,12 @@ class TrainRunner:
                      "(%.1f train examples/s)",
                      self.epoch, mrr * 100, hit * 100,
                      epoch_examples / max(time.time() - epoch_t, 1e-9))
+            if self.metrics is not None:
+                self.metrics.log(
+                    "eval", step=self.batch, epoch=self.epoch, mrr=mrr,
+                    hit=hit,
+                    examples_per_s=epoch_examples
+                    / max(time.time() - epoch_t, 1e-9))
 
             if self.checkpointer is not None:
                 self.checkpointer.save(self.epoch, self.params, self.state,

@@ -58,6 +58,21 @@ def make_loaders(cfg, model_name=None, order=1):
     return train_loader, test_loader, num_items, max_len
 
 
+def _make_mesh(cfg_train):
+    """(data, model) mesh when dp*mp > 1, else None (single device)."""
+    dp = int(getattr(cfg_train, "data_parallel", 1) or 1)
+    mp = int(getattr(cfg_train, "model_parallel", 1) or 1)
+    if dp * mp <= 1:
+        return None
+    from sessionrec_tpu.parallel.mesh import make_mesh
+    n = len(jax.devices())
+    if dp * mp > n:
+        raise ValueError(
+            f"requested data_parallel={dp} x model_parallel={mp} "
+            f"but only {n} devices are visible")
+    return make_mesh(data=dp, model=mp, devices=jax.devices()[:dp * mp])
+
+
 def run_training(cfg, max_epoch_batches=None):
     name = cfg.model.name.lower()
     train_loader, test_loader, num_items, max_len = make_loaders(
@@ -68,10 +83,19 @@ def run_training(cfg, max_epoch_batches=None):
     model = build_model(cfg.model, num_items)
     log.info("model %s on %s", name, jax.devices()[0].platform)
 
+    mesh = _make_mesh(cfg.train)
+    if mesh is not None:
+        log.info("mesh: %s over %d devices", dict(mesh.shape), mesh.size)
+
     checkpointer = None
     if cfg.train.checkpoint_dir:
         from sessionrec_tpu.utils.checkpoint import Checkpointer
         checkpointer = Checkpointer(cfg.train.checkpoint_dir)
+
+    metrics = None
+    if getattr(cfg.train, "metrics_file", None):
+        from sessionrec_tpu.utils.metrics import MetricsLogger
+        metrics = MetricsLogger(cfg.train.metrics_file)
 
     if max_epoch_batches is not None:
         train_loader = _CappedLoader(train_loader, max_epoch_batches)
@@ -83,10 +107,18 @@ def run_training(cfg, max_epoch_batches=None):
         cutoff=cfg.train.cutoff, lr_step_size=cfg.train.lr_step_size,
         lr_gamma=cfg.train.lr_gamma,
         eval_before_train=cfg.train.eval_before_train,
-        checkpointer=checkpointer, unroll=cfg.train.unroll)
+        checkpointer=checkpointer, unroll=cfg.train.unroll,
+        mesh=mesh, metrics=metrics)
     if checkpointer is not None and cfg.train.resume:
         checkpointer.restore_latest(runner)
-    return runner.train(cfg.train.epochs, cfg.train.log_interval)
+
+    from sessionrec_tpu.utils.profiling import trace
+    try:
+        with trace(getattr(cfg.train, "profile_dir", None)):
+            return runner.train(cfg.train.epochs, cfg.train.log_interval)
+    finally:
+        if metrics is not None:
+            metrics.close()
 
 
 class _CappedLoader:

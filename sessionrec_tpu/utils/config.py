@@ -73,6 +73,9 @@ class TrainConfig:
     # parallelism
     data_parallel: int = 1
     model_parallel: int = 1
+    # observability (absent in reference, SURVEY.md §5)
+    metrics_file: str | None = None   # JSONL sink (utils/metrics.py)
+    profile_dir: str | None = None    # jax.profiler trace dir
 
 
 @dataclass
