@@ -67,15 +67,25 @@ def _row_norms(tab):
     return jnp.sqrt(jnp.sum(t * t, axis=1, keepdims=True))
 
 
-def _fwd_kernel(num_items, scale, normalize_table, sr_ref, tab_ref, lbl_ref,
-                loss_ref, lse_ref, m_s, s_s, zl_s):
+def _fwd_kernel(scale, normalize_table, nv_ref, sr_ref, tab_ref, lbl_ref,
+                m_ref, s_ref, zl_ref):
+    """One catalog tile of the online softmax reduction.
+
+    ``nv_ref`` (SMEM scalar) is the number of *valid* leading table rows —
+    ``num_items`` single-chip, or this shard's live row count when the
+    table is row-sharded (then ``lbl`` arrives pre-shifted into local
+    coordinates, so out-of-shard labels never match).  Outputs are the
+    running (row max, sum-exp relative to it, label logit) — enough to
+    finish the loss locally or to psum-combine across catalog shards.
+    """
     j = pl.program_id(0)
+    n_valid = nv_ref[0]
 
     @pl.when(j == 0)
     def _():
-        m_s[:] = jnp.full_like(m_s, NEG_INF)
-        s_s[:] = jnp.zeros_like(s_s)
-        zl_s[:] = jnp.zeros_like(zl_s)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        s_ref[:] = jnp.zeros_like(s_ref)
+        zl_ref[:] = jnp.zeros_like(zl_ref)
 
     # [B, TILE_P] logits tile, f32 accumulation on the MXU
     z = scale * jax.lax.dot_general(
@@ -88,41 +98,39 @@ def _fwd_kernel(num_items, scale, normalize_table, sr_ref, tab_ref, lbl_ref,
         n = _row_norms(tab_ref[:])                       # [TP, 1]
         z = z / jnp.maximum(n, _NORM_EPS)[:, 0][None, :]
     col = j * TILE_P + jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
-    z = jnp.where(col < num_items, z, NEG_INF)
+    z = jnp.where(col < n_valid, z, NEG_INF)
 
-    # label logit extraction (labels always < num_items)
+    # label logit extraction (valid labels always < n_valid)
     lbl = lbl_ref[:]                                     # [B, 1] int32
-    zl_s[:] += jnp.sum(jnp.where(col == lbl, z, 0.0), axis=1, keepdims=True)
+    zl_ref[:] += jnp.sum(jnp.where(col == lbl, z, 0.0), axis=1, keepdims=True)
 
     # online log-sum-exp
     m_tile = jnp.max(z, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_s[:], m_tile)
+    m_new = jnp.maximum(m_ref[:], m_tile)
     # guard: exp(NEG_INF - NEG_INF) on the first all-masked tile
     m_safe = jnp.maximum(m_new, NEG_INF * 0.5)
-    s_s[:] = s_s[:] * jnp.exp(m_s[:] - m_safe) + \
+    s_ref[:] = s_ref[:] * jnp.exp(m_ref[:] - m_safe) + \
         jnp.sum(jnp.exp(z - m_safe), axis=1, keepdims=True)
-    m_s[:] = m_new
-
-    @pl.when(j == pl.num_programs(0) - 1)
-    def _():
-        lse = jnp.maximum(m_s[:], NEG_INF * 0.5) + \
-            jnp.log(jnp.maximum(s_s[:], jnp.finfo(jnp.float32).tiny))
-        lse_ref[:] = lse
-        loss_ref[:] = lse - zl_s[:]
+    m_ref[:] = m_new
 
 
-def _fwd_pallas(sr, table, labels, *, scale, num_items, normalize_table):
+def _fwd_pallas(sr, table, labels, n_valid, *, scale, normalize_table):
+    """Partial softmax stats over ``table``'s (locally valid) rows.
+
+    Returns ``(m, s, zl)`` per row: running max (relative to which ``s``
+    is the sum of exponentials) and the label logit (0 when the label is
+    outside [0, n_valid)).  ``lse = safe(m) + log(s)``.
+    """
     B, D = sr.shape
     P = table.shape[0]
     grid = P // TILE_P
-    kernel = functools.partial(_fwd_kernel, num_items, scale,
-                               normalize_table)
-    out_shape = [jax.ShapeDtypeStruct((B, 1), jnp.float32),
-                 jax.ShapeDtypeStruct((B, 1), jnp.float32)]
-    loss, lse = pl.pallas_call(
+    kernel = functools.partial(_fwd_kernel, scale, normalize_table)
+    out_shape = [jax.ShapeDtypeStruct((B, 1), jnp.float32)] * 3
+    m, s, zl = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((B, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_P, D), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -130,26 +138,32 @@ def _fwd_pallas(sr, table, labels, *, scale, num_items, normalize_table):
         ],
         out_specs=[
             pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] * 3,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((B, 1), jnp.float32)] * 3,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * D * P,
             bytes_accessed=P * D * sr.dtype.itemsize + B * D * 4,
             transcendentals=B * P),
         interpret=_interpret(),
-    )(sr, table, labels[:, None].astype(jnp.int32))
-    return loss[:, 0], lse[:, 0]
+    )(jnp.asarray(n_valid, jnp.int32).reshape(1), sr, table,
+      labels[:, None].astype(jnp.int32))
+    return m[:, 0], s[:, 0], zl[:, 0]
+
+
+def _finish_lse(m, s):
+    """log-sum-exp from the kernel's (running max, relative sum-exp)."""
+    return jnp.maximum(m, NEG_INF * 0.5) + \
+        jnp.log(jnp.maximum(s, jnp.finfo(jnp.float32).tiny))
 
 
 # ---------------------------------------------------------------------------
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(num_items, scale, mxu_dtype, normalize_table, g_ref, sr_ref,
+def _bwd_kernel(scale, mxu_dtype, normalize_table, nv_ref, g_ref, sr_ref,
                 tab_ref, lbl_ref, lse_ref, dsr_ref, dtab_ref):
     j = pl.program_id(0)
+    n_valid = nv_ref[0]
 
     if normalize_table:
         n = jnp.maximum(_row_norms(tab_ref[:]), _NORM_EPS)    # [TP, 1]
@@ -163,7 +177,7 @@ def _bwd_kernel(num_items, scale, mxu_dtype, normalize_table, g_ref, sr_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     col = j * TILE_P + jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
-    p = jnp.where(col < num_items, jnp.exp(z - lse_ref[:]), 0.0)
+    p = jnp.where(col < n_valid, jnp.exp(z - lse_ref[:]), 0.0)
     onehot = (col == lbl_ref[:]).astype(jnp.float32)
     dz = ((p - onehot) * (scale * g_ref[:])).astype(mxu_dtype)   # [B, TP]
 
@@ -193,7 +207,7 @@ def _bwd_kernel(num_items, scale, mxu_dtype, normalize_table, g_ref, sr_ref,
     dsr_ref[:] += contrib
 
 
-def _bwd_pallas(g, sr, table, labels, lse, *, scale, num_items,
+def _bwd_pallas(g, sr, table, labels, lse, n_valid, *, scale,
                 normalize_table):
     B, D = sr.shape
     P = table.shape[0]
@@ -201,12 +215,13 @@ def _bwd_pallas(g, sr, table, labels, lse, *, scale, num_items,
     # bf16 inputs -> run the two backward matmuls at bf16 MXU rate
     # (f32 accumulation); f32 inputs stay f32.
     mxu_dtype = sr.dtype if sr.dtype == jnp.bfloat16 else jnp.float32
-    kernel = functools.partial(_bwd_kernel, num_items, scale, mxu_dtype,
+    kernel = functools.partial(_bwd_kernel, scale, mxu_dtype,
                                normalize_table)
     dsr, dtab = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_P, D), lambda j: (j, 0),
@@ -227,7 +242,8 @@ def _bwd_pallas(g, sr, table, labels, lse, *, scale, num_items,
             bytes_accessed=2 * P * D * sr.dtype.itemsize + B * D * 4,
             transcendentals=B * P),
         interpret=_interpret(),
-    )(g[:, None].astype(jnp.float32), sr, table,
+    )(jnp.asarray(n_valid, jnp.int32).reshape(1),
+      g[:, None].astype(jnp.float32), sr, table,
       labels[:, None].astype(jnp.int32), lse[:, None])
     return dsr, dtab
 
@@ -238,28 +254,104 @@ def _bwd_pallas(g, sr, table, labels, lse, *, scale, num_items,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _catalog_xent(sr, table, labels, scale, num_items, normalize_table):
-    loss, _ = _fwd_pallas(sr, table, labels, scale=scale,
-                          num_items=num_items,
-                          normalize_table=normalize_table)
-    return loss
+    m, s, zl = _fwd_pallas(sr, table, labels, num_items, scale=scale,
+                           normalize_table=normalize_table)
+    return _finish_lse(m, s) - zl
 
 
 def _catalog_xent_fwd(sr, table, labels, scale, num_items, normalize_table):
-    loss, lse = _fwd_pallas(sr, table, labels, scale=scale,
-                            num_items=num_items,
-                            normalize_table=normalize_table)
-    return loss, (sr, table, labels, lse)
+    m, s, zl = _fwd_pallas(sr, table, labels, num_items, scale=scale,
+                           normalize_table=normalize_table)
+    lse = _finish_lse(m, s)
+    return lse - zl, (sr, table, labels, lse)
 
 
 def _catalog_xent_bwd(scale, num_items, normalize_table, res, g):
     sr, table, labels, lse = res
-    dsr, dtab = _bwd_pallas(g, sr, table, labels, lse, scale=scale,
-                            num_items=num_items,
-                            normalize_table=normalize_table)
+    dsr, dtab = _bwd_pallas(g, sr, table, labels, lse, num_items,
+                            scale=scale, normalize_table=normalize_table)
     return dsr.astype(sr.dtype), dtab, None
 
 
 _catalog_xent.defvjp(_catalog_xent_fwd, _catalog_xent_bwd)
+
+
+# ---------------------------------------------------------------------------
+# catalog-sharded variant (tensor parallel over the 'model' mesh axis)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _catalog_xent_psum(sr, table, labels, n_valid, scale, normalize_table,
+                       axis_name):
+    loss, _ = _psum_fwd_impl(sr, table, labels, n_valid, scale,
+                             normalize_table, axis_name)
+    return loss
+
+
+def _psum_fwd_impl(sr, table, labels, n_valid, scale, normalize_table,
+                   axis_name):
+    m, s, zl = _fwd_pallas(sr, table, labels, n_valid, scale=scale,
+                           normalize_table=normalize_table)
+    # combine per-shard partial stats: two tiny [B] collectives over ICI
+    m_g = jax.lax.pmax(m, axis_name)
+    m_safe = jnp.maximum(m_g, NEG_INF * 0.5)
+    s_g = jax.lax.psum(s * jnp.exp(jnp.maximum(m, NEG_INF) - m_safe),
+                       axis_name)
+    zl_g = jax.lax.psum(zl, axis_name)
+    lse = m_safe + jnp.log(jnp.maximum(s_g, jnp.finfo(jnp.float32).tiny))
+    return lse - zl_g, lse
+
+
+def _catalog_xent_psum_fwd(sr, table, labels, n_valid, scale,
+                           normalize_table, axis_name):
+    loss, lse = _psum_fwd_impl(sr, table, labels, n_valid, scale,
+                               normalize_table, axis_name)
+    return loss, (sr, table, labels, n_valid, lse)
+
+
+def _catalog_xent_psum_bwd(scale, normalize_table, axis_name, res, g):
+    sr, table, labels, n_valid, lse = res
+    dsr, dtab = _bwd_pallas(g, sr, table, labels, lse, n_valid, scale=scale,
+                            normalize_table=normalize_table)
+    # d_table is exact per shard; d_sr sums contributions of all shards
+    dsr = jax.lax.psum(dsr, axis_name)
+    return dsr.astype(sr.dtype), dtab, None, None
+
+
+_catalog_xent_psum.defvjp(_catalog_xent_psum_fwd, _catalog_xent_psum_bwd)
+
+
+def sharded_catalog_xent(sr, table_local, labels, *, scale: float,
+                         num_items: int, normalize_table: bool = False,
+                         axis_name: str = "model"):
+    """Per-row catalog cross-entropy with the table row-sharded over
+    ``axis_name`` — call **inside shard_map**.
+
+    ``sr [B, D]`` and ``labels [B]`` are per-data-shard (replicated over
+    ``axis_name``); ``table_local [P/mp, D]`` is this shard's rows.  Each
+    shard streams only its rows through the flash-softmax kernel; the
+    partial (max, sum-exp, label-logit) stats are combined with one pmax
+    + two psums of ``[B]`` vectors, and the backward psums ``d_sr``.
+    The ``[B, P]`` logits never exist — globally or per shard.
+    """
+    B, D = sr.shape
+    ploc = table_local.shape[0]
+    shard = jax.lax.axis_index(axis_name)
+    offset = (shard * ploc).astype(jnp.int32)
+    # live rows on this shard: catalog rows >= num_items are padding
+    n_valid = jnp.clip(num_items - offset, 0, ploc)
+    # shift labels into local row coordinates; off-shard labels fall
+    # outside [0, n_valid) and match nothing
+    lbl_local = labels.astype(jnp.int32) - offset
+
+    Bp, Dp = _round_up(B, 8), _round_up(D, _LANE)
+    Pp = _round_up(ploc, TILE_P)
+    srp = jnp.pad(sr, ((0, Bp - B), (0, Dp - D)))
+    tabp = jnp.pad(table_local, ((0, Pp - ploc), (0, Dp - D)))
+    lblp = jnp.pad(lbl_local, (0, Bp - B), constant_values=-1)
+    loss = _catalog_xent_psum(srp, tabp, lblp, n_valid, float(scale),
+                              bool(normalize_table), axis_name)
+    return loss[:B]
 
 
 def catalog_xent(sr, table, labels, *, scale: float, num_items: int,

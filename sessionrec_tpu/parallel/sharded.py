@@ -22,8 +22,34 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sessionrec_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS,
                                           batch_sharding, param_sharding)
-from sessionrec_tpu.ops import scoring
+from sessionrec_tpu.ops import scoring, xent
 from sessionrec_tpu.train.runner import make_eval_step, make_train_step
+
+
+def fused_nll_loss_sharded(mesh, sr, table, labels, valid, *, scale: float,
+                           num_items: int, normalize_table: bool = False):
+    """Mesh version of ``ops.xent.fused_nll_loss``: flash softmax-CE with
+    the catalog table row-sharded over ``model`` and the batch sharded
+    over ``data``.  Each model shard streams only its table rows through
+    the Pallas kernel; per-shard (max, sum-exp, label-logit) stats merge
+    with tiny [B] collectives (SURVEY.md §7.3 hard part 4)."""
+
+    def local(sr, table_local, labels, valid):
+        per_row = xent.sharded_catalog_xent(
+            sr, table_local, labels, scale=scale, num_items=num_items,
+            normalize_table=normalize_table, axis_name=MODEL_AXIS)
+        v = valid.astype(per_row.dtype)
+        num = jax.lax.psum(jnp.sum(per_row * v), DATA_AXIS)
+        den = jax.lax.psum(jnp.sum(v), DATA_AXIS)
+        return num / jnp.maximum(den, 1.0)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(MODEL_AXIS, None), P(DATA_AXIS),
+                  P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )(sr, table, labels, valid)
 
 
 def place_params(mesh, params):
@@ -50,10 +76,7 @@ def make_sharded_steps(model, tx, mesh, cutoff=20):
     The bodies are identical to the single-chip ones — sharding is
     carried entirely by operand placement (GSPMD).
     """
-    # fused=False: the Pallas xent kernel assumes unsharded operands; under
-    # GSPMD the XLA softmax-CE path shards cleanly (logits [data, model],
-    # psum for the log-sum-exp).  Sharded flash-CE is a later milestone.
-    train_step = make_train_step(model, tx, fused=False)
+    train_step = make_train_step(model, tx, mesh=mesh)
     eval_step = make_eval_step(model, cutoff)
     return train_step, eval_step
 

@@ -25,25 +25,33 @@ from sessionrec_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 
-def make_loss_fn(model, state, batch, rng, *, fused=True):
+def make_loss_fn(model, state, batch, rng, *, fused=True, mesh=None):
     """Training-loss closure over params.
 
     When the model's loss is plain softmax-CE over the catalog
     (``has_plain_head``), routes through the fused Pallas kernel
     (ops/xent.py): the ``[B, num_items]`` logits never hit HBM, and the
     catalog-table l2norm (``table_norm``) folds into the same kernel.
-    Otherwise (MSGIFSR with REnorm/fusion) falls back to the model's
-    full log-prob path + nll.
+    With a ``mesh`` the kernel runs per catalog shard inside shard_map
+    (parallel/sharded.py:fused_nll_loss_sharded).  Otherwise (MSGIFSR
+    with REnorm/fusion) falls back to the model's full log-prob path
+    + nll.
     """
     if fused and getattr(model, "has_plain_head", False):
         def loss_fn(p):
             sr, table, new_state = model.head(p, state, batch,
                                               training=True, rng=rng)
-            loss = xent.fused_nll_loss(
-                sr, table, batch.labels, batch.valid,
-                scale=float(model.scale) if model.scale else 1.0,
-                num_items=model.num_items,
-                normalize_table=getattr(model, "table_norm", False))
+            kw = dict(scale=float(model.scale) if model.scale else 1.0,
+                      num_items=model.num_items,
+                      normalize_table=getattr(model, "table_norm", False))
+            if mesh is not None:
+                from sessionrec_tpu.parallel.sharded import \
+                    fused_nll_loss_sharded
+                loss = fused_nll_loss_sharded(mesh, sr, table, batch.labels,
+                                              batch.valid, **kw)
+            else:
+                loss = xent.fused_nll_loss(sr, table, batch.labels,
+                                           batch.valid, **kw)
             return loss, new_state
         return loss_fn
 
@@ -55,12 +63,13 @@ def make_loss_fn(model, state, batch, rng, *, fused=True):
     return loss_fn
 
 
-def make_train_step(model, tx, *, fused=True):
+def make_train_step(model, tx, *, fused=True, mesh=None):
     """Build the jitted train step: project -> fwd -> bwd -> Adam."""
 
     def train_step(params, state, opt_state, batch, rng):
         params = model.project_params(params)   # torch max_norm semantics
-        loss_fn = make_loss_fn(model, state, batch, rng, fused=fused)
+        loss_fn = make_loss_fn(model, state, batch, rng, fused=fused,
+                               mesh=mesh)
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -70,7 +79,8 @@ def make_train_step(model, tx, *, fused=True):
     return jax.jit(train_step, donate_argnums=(0, 1, 2))
 
 
-def make_unrolled_train_step(model, tx, unroll: int, *, fused=True):
+def make_unrolled_train_step(model, tx, unroll: int, *, fused=True,
+                             mesh=None):
     """Device-side training loop: one jitted call runs ``unroll``
     sequential optimizer steps via ``lax.scan`` over a stacked chunk of
     batches.
@@ -94,7 +104,8 @@ def make_unrolled_train_step(model, tx, unroll: int, *, fused=True):
         def do(operand):
             params, state, opt_state = operand
             params = model.project_params(params)
-            loss_fn = make_loss_fn(model, state, batch, rng, fused=fused)
+            loss_fn = make_loss_fn(model, state, batch, rng, fused=fused,
+                                   mesh=mesh)
             (loss, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -227,9 +238,6 @@ class TrainRunner:
                                  steps_per_epoch=len(train_loader),
                                  lr_step_size=lr_step_size, lr_gamma=lr_gamma)
         if mesh is not None:
-            # the fused Pallas xent kernel assumes unsharded operands; under
-            # GSPMD the XLA softmax-CE path shards cleanly
-            fused = False
             from sessionrec_tpu.parallel.mesh import replicated
             from sessionrec_tpu.parallel.sharded import (
                 make_sharded_unrolled_eval_step, place_params)
@@ -243,7 +251,8 @@ class TrainRunner:
             self.opt_state = self.tx.init(self.params)
             self.eval_step = make_unrolled_eval_step(model, cutoff)
         self.train_step = make_unrolled_train_step(model, self.tx,
-                                                   self.unroll, fused=fused)
+                                                   self.unroll, fused=fused,
+                                                   mesh=mesh)
         self.epoch = 0
         self.batch = 0
 
