@@ -278,19 +278,61 @@ _catalog_xent.defvjp(_catalog_xent_fwd, _catalog_xent_bwd)
 
 # ---------------------------------------------------------------------------
 # catalog-sharded variant (tensor parallel over the 'model' mesh axis)
+#
+# These are *explicit* forward/backward halves meant to be called inside
+# separate shard_map bodies (parallel/sharded.py stitches them together
+# with a mesh-level jax.custom_vjp).  They are deliberately NOT a nested
+# custom_vjp: with ``check_vma=False`` shard_map's transpose seeds
+# replicated cotangents with an axis-size-dependent convention, which
+# silently mis-scales gradients of row-sharded inputs (d_table came out
+# 1/mp of the truth).  Explicit bwd psums sidestep the convention.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _catalog_xent_psum(sr, table, labels, n_valid, scale, normalize_table,
-                       axis_name):
-    loss, _ = _psum_fwd_impl(sr, table, labels, n_valid, scale,
-                             normalize_table, axis_name)
-    return loss
+
+def _localize_labels(labels, ploc, num_items, axis_name):
+    """Shift global labels into this catalog shard's row coordinates.
+
+    Off-shard labels are sent to -1 so they can never match a column.
+    (Merely being outside [0, n_valid) is NOT enough: the kernel's tile
+    is padded to TILE_P, so an off-shard label < Pp would match a masked
+    NEG_INF column and poison the label-logit / backward one-hot.)
+    Returns ``(lbl_local, n_valid)``.
+    """
+    shard = jax.lax.axis_index(axis_name)
+    offset = (shard * ploc).astype(jnp.int32)
+    # live rows on this shard: catalog rows >= num_items are padding
+    n_valid = jnp.clip(num_items - offset, 0, ploc)
+    lbl_local = labels.astype(jnp.int32) - offset
+    lbl_local = jnp.where((lbl_local >= 0) & (lbl_local < n_valid),
+                          lbl_local, -1)
+    return lbl_local, n_valid
 
 
-def _psum_fwd_impl(sr, table, labels, n_valid, scale, normalize_table,
-                   axis_name):
-    m, s, zl = _fwd_pallas(sr, table, labels, n_valid, scale=scale,
+def sharded_xent_fwd(sr, table_local, labels, *, scale: float,
+                     num_items: int, normalize_table: bool = False,
+                     axis_name: str = "model"):
+    """Per-row catalog cross-entropy with the table row-sharded over
+    ``axis_name`` — call **inside shard_map**; forward values only.
+
+    ``sr [B, D]`` and ``labels [B]`` are per-data-shard (replicated over
+    ``axis_name``); ``table_local [P/mp, D]`` is this shard's rows.  Each
+    shard streams only its rows through the flash-softmax kernel; the
+    partial (max, sum-exp, label-logit) stats are combined with one pmax
+    + two psums of ``[B]`` vectors.  The ``[B, P]`` logits never exist —
+    globally or per shard.  Returns ``(per_row_loss [B], lse [B])``;
+    ``lse`` is the residual ``sharded_xent_bwd`` needs.
+    """
+    B, D = sr.shape
+    ploc = table_local.shape[0]
+    lbl_local, n_valid = _localize_labels(labels, ploc, num_items, axis_name)
+
+    Bp, Dp = _round_up(B, 8), _round_up(D, _LANE)
+    Pp = _round_up(ploc, TILE_P)
+    srp = jnp.pad(sr, ((0, Bp - B), (0, Dp - D)))
+    tabp = jnp.pad(table_local, ((0, Pp - ploc), (0, Dp - D)))
+    lblp = jnp.pad(lbl_local, (0, Bp - B), constant_values=-1)
+
+    m, s, zl = _fwd_pallas(srp, tabp, lblp, n_valid, scale=scale,
                            normalize_table=normalize_table)
     # combine per-shard partial stats: two tiny [B] collectives over ICI
     m_g = jax.lax.pmax(m, axis_name)
@@ -299,59 +341,37 @@ def _psum_fwd_impl(sr, table, labels, n_valid, scale, normalize_table,
                        axis_name)
     zl_g = jax.lax.psum(zl, axis_name)
     lse = m_safe + jnp.log(jnp.maximum(s_g, jnp.finfo(jnp.float32).tiny))
-    return lse - zl_g, lse
+    return (lse - zl_g)[:B], lse[:B]
 
 
-def _catalog_xent_psum_fwd(sr, table, labels, n_valid, scale,
-                           normalize_table, axis_name):
-    loss, lse = _psum_fwd_impl(sr, table, labels, n_valid, scale,
-                               normalize_table, axis_name)
-    return loss, (sr, table, labels, n_valid, lse)
+def sharded_xent_bwd(g_row, sr, table_local, labels, lse, *, scale: float,
+                     num_items: int, normalize_table: bool = False,
+                     axis_name: str = "model"):
+    """Backward of ``sharded_xent_fwd`` — call **inside shard_map**.
 
-
-def _catalog_xent_psum_bwd(scale, normalize_table, axis_name, res, g):
-    sr, table, labels, n_valid, lse = res
-    dsr, dtab = _bwd_pallas(g, sr, table, labels, lse, n_valid, scale=scale,
-                            normalize_table=normalize_table)
-    # d_table is exact per shard; d_sr sums contributions of all shards
-    dsr = jax.lax.psum(dsr, axis_name)
-    return dsr.astype(sr.dtype), dtab, None, None
-
-
-_catalog_xent_psum.defvjp(_catalog_xent_psum_fwd, _catalog_xent_psum_bwd)
-
-
-def sharded_catalog_xent(sr, table_local, labels, *, scale: float,
-                         num_items: int, normalize_table: bool = False,
-                         axis_name: str = "model"):
-    """Per-row catalog cross-entropy with the table row-sharded over
-    ``axis_name`` — call **inside shard_map**.
-
-    ``sr [B, D]`` and ``labels [B]`` are per-data-shard (replicated over
-    ``axis_name``); ``table_local [P/mp, D]`` is this shard's rows.  Each
-    shard streams only its rows through the flash-softmax kernel; the
-    partial (max, sum-exp, label-logit) stats are combined with one pmax
-    + two psums of ``[B]`` vectors, and the backward psums ``d_sr``.
-    The ``[B, P]`` logits never exist — globally or per shard.
+    ``g_row [B]`` is the cotangent of the per-row loss (already scaled by
+    the caller's mean weights), ``lse [B]`` the forward residual.
+    Returns ``(d_sr [B, D], d_table_local [P/mp, D])`` where ``d_sr`` is
+    psum'd over ``axis_name`` (every catalog shard contributes to it) and
+    ``d_table_local`` is this shard's exact row gradient for this data
+    shard's rows — the caller psums it over the *data* axis.
     """
     B, D = sr.shape
     ploc = table_local.shape[0]
-    shard = jax.lax.axis_index(axis_name)
-    offset = (shard * ploc).astype(jnp.int32)
-    # live rows on this shard: catalog rows >= num_items are padding
-    n_valid = jnp.clip(num_items - offset, 0, ploc)
-    # shift labels into local row coordinates; off-shard labels fall
-    # outside [0, n_valid) and match nothing
-    lbl_local = labels.astype(jnp.int32) - offset
+    lbl_local, n_valid = _localize_labels(labels, ploc, num_items, axis_name)
 
     Bp, Dp = _round_up(B, 8), _round_up(D, _LANE)
     Pp = _round_up(ploc, TILE_P)
     srp = jnp.pad(sr, ((0, Bp - B), (0, Dp - D)))
     tabp = jnp.pad(table_local, ((0, Pp - ploc), (0, Dp - D)))
     lblp = jnp.pad(lbl_local, (0, Bp - B), constant_values=-1)
-    loss = _catalog_xent_psum(srp, tabp, lblp, n_valid, float(scale),
-                              bool(normalize_table), axis_name)
-    return loss[:B]
+    gp = jnp.pad(g_row.astype(jnp.float32), (0, Bp - B))
+    lsep = jnp.pad(lse, (0, Bp - B))
+
+    dsr, dtab = _bwd_pallas(gp, srp, tabp, lblp, lsep, n_valid, scale=scale,
+                            normalize_table=normalize_table)
+    dsr = jax.lax.psum(dsr, axis_name)
+    return dsr[:B, :D].astype(sr.dtype), dtab[:ploc, :D]
 
 
 def catalog_xent(sr, table, labels, *, scale: float, num_items: int,
@@ -383,9 +403,12 @@ def reference_xent(sr, table, labels, *, scale: float, num_items: int,
                    normalize_table: bool = False):
     """Pure-jnp oracle with identical semantics (used on CPU + in tests)."""
     if normalize_table:
-        n = jnp.linalg.norm(table.astype(jnp.float32), axis=-1,
-                            keepdims=True)
-        table = table / jnp.maximum(n, _NORM_EPS).astype(table.dtype)
+        # sqrt(max(.)) instead of max(norm(.)) so all-zero padding rows
+        # get zero (not NaN) gradient — norm() is non-differentiable at 0
+        nsq = jnp.sum(jnp.square(table.astype(jnp.float32)), axis=-1,
+                      keepdims=True)
+        n = jnp.sqrt(jnp.maximum(nsq, _NORM_EPS * _NORM_EPS))
+        table = table / n.astype(table.dtype)
     logits = scale * jax.lax.dot_general(
         sr, table, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)

@@ -26,30 +26,78 @@ from sessionrec_tpu.ops import scoring, xent
 from sessionrec_tpu.train.runner import make_eval_step, make_train_step
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_loss_mesh(mesh, scale, num_items, normalize_table,
+                     sr, table, labels, valid):
+    loss, _ = _fused_loss_mesh_fwd(mesh, scale, num_items, normalize_table,
+                                   sr, table, labels, valid)
+    return loss
+
+
+def _fused_loss_mesh_fwd(mesh, scale, num_items, normalize_table,
+                         sr, table, labels, valid):
+    def local(sr, table_local, labels, valid):
+        per_row, lse = xent.sharded_xent_fwd(
+            sr, table_local, labels, scale=scale, num_items=num_items,
+            normalize_table=normalize_table, axis_name=MODEL_AXIS)
+        v = valid.astype(per_row.dtype)
+        num = jax.lax.psum(jnp.sum(per_row * v), DATA_AXIS)
+        den = jax.lax.psum(jnp.sum(v), DATA_AXIS)
+        return num / jnp.maximum(den, 1.0), lse, jnp.maximum(den, 1.0)
+
+    loss, lse, den = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(MODEL_AXIS, None), P(DATA_AXIS),
+                  P(DATA_AXIS)),
+        out_specs=(P(), P(DATA_AXIS), P()),
+        check_vma=False,
+    )(sr, table, labels, valid)
+    return loss, (sr, table, labels, valid, lse, den)
+
+
+def _fused_loss_mesh_bwd(mesh, scale, num_items, normalize_table, res, g):
+    sr, table, labels, valid, lse, den = res
+
+    def local(sr, table_local, labels, valid, lse):
+        # cotangent of each per-row loss under the masked global mean
+        g_row = g * valid.astype(jnp.float32) / den
+        dsr, dtab = xent.sharded_xent_bwd(
+            g_row, sr, table_local, labels, lse, scale=scale,
+            num_items=num_items, normalize_table=normalize_table,
+            axis_name=MODEL_AXIS)
+        # every data shard contributes to every table row
+        dtab = jax.lax.psum(dtab, DATA_AXIS)
+        return dsr, dtab
+
+    dsr, dtab = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(MODEL_AXIS, None), P(DATA_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS, None), P(MODEL_AXIS, None)),
+        check_vma=False,
+    )(sr, table, labels, valid, lse)
+    return dsr, dtab.astype(table.dtype), None, None
+
+
+_fused_loss_mesh.defvjp(_fused_loss_mesh_fwd, _fused_loss_mesh_bwd)
+
+
 def fused_nll_loss_sharded(mesh, sr, table, labels, valid, *, scale: float,
                            num_items: int, normalize_table: bool = False):
     """Mesh version of ``ops.xent.fused_nll_loss``: flash softmax-CE with
     the catalog table row-sharded over ``model`` and the batch sharded
     over ``data``.  Each model shard streams only its table rows through
     the Pallas kernel; per-shard (max, sum-exp, label-logit) stats merge
-    with tiny [B] collectives (SURVEY.md §7.3 hard part 4)."""
+    with tiny [B] collectives (SURVEY.md §7.3 hard part 4).
 
-    def local(sr, table_local, labels, valid):
-        per_row = xent.sharded_catalog_xent(
-            sr, table_local, labels, scale=scale, num_items=num_items,
-            normalize_table=normalize_table, axis_name=MODEL_AXIS)
-        v = valid.astype(per_row.dtype)
-        num = jax.lax.psum(jnp.sum(per_row * v), DATA_AXIS)
-        den = jax.lax.psum(jnp.sum(v), DATA_AXIS)
-        return num / jnp.maximum(den, 1.0)
-
-    return shard_map(
-        local, mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(MODEL_AXIS, None), P(DATA_AXIS),
-                  P(DATA_AXIS)),
-        out_specs=P(),
-        check_vma=False,
-    )(sr, table, labels, valid)
+    Forward and backward are *separate* shard_maps under one mesh-level
+    ``custom_vjp``: differentiating through a ``check_vma=False``
+    shard_map mis-scales cotangents of replicated/sharded inputs (the
+    transpose seeds replicated outputs with a 1/axis-size convention),
+    so the backward collectives are written out explicitly instead.
+    """
+    return _fused_loss_mesh(mesh, float(scale), int(num_items),
+                            bool(normalize_table), sr, table, labels, valid)
 
 
 def place_params(mesh, params):
