@@ -8,13 +8,15 @@ actually row-sharded, and the metrics JSONL sink records events.
 
 import json
 import os
+import pathlib
 
 import numpy as np
 import pytest
 
 import jax
 
-SAMPLE_DIR = "/root/reference/datasets/sample"
+SAMPLE_DIR = str(pathlib.Path(__file__).resolve().parent.parent
+                 / "datasets" / "sample")
 
 pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8 or not os.path.isdir(SAMPLE_DIR),

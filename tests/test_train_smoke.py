@@ -3,11 +3,13 @@ a slice of the reference's bundled sample dataset (the de-facto
 integration fixture, SURVEY.md §4)."""
 
 import os
+import pathlib
 
 import numpy as np
 import pytest
 
-SAMPLE_DIR = "/root/reference/datasets/sample"
+SAMPLE_DIR = str(pathlib.Path(__file__).resolve().parent.parent
+                 / "datasets" / "sample")
 
 pytestmark = pytest.mark.skipif(not os.path.isdir(SAMPLE_DIR),
                                 reason="sample dataset not present")
