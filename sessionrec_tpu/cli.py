@@ -29,6 +29,10 @@ def _add_train_flags(p):
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--patience", type=int, default=None)
     p.add_argument("--valid-split", type=float, default=None)
+    p.add_argument("--max-len", type=int, default=None,
+                   help="static per-example node cap; prefixes longer than "
+                        "this keep their most recent max-len items "
+                        "(default: longest session in the data)")
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--order", type=int, default=None, help="MSGIFSR order")
     p.add_argument("--reducer", default=None, choices=["mean", "max", "concat"])
@@ -79,6 +83,8 @@ def build_config(args):
     if args.shuffle is not None:
         d.shuffle_train = args.shuffle
     d.valid_split = args.valid_split
+    if args.max_len is not None:
+        d.max_len = args.max_len
     t.lr = args.lr
     t.epochs = args.epochs
     t.weight_decay = args.weight_decay

@@ -94,8 +94,15 @@ class BatchLoader:
 
     def _build(self, ids):
         seqs, labels = [], []
+        max_len = self.max_len
         for i in ids:
             s, l = self.index.example(i)
+            # Prefixes longer than the static node cap keep their most
+            # recent max_len items (yoochoose stage-1 emits untruncated
+            # sessions; the common pipelines pre-truncate to 20 so this
+            # is a no-op there).
+            if len(s) > max_len:
+                s = s[-max_len:]
             seqs.append(s)
             labels.append(l)
         return _make_batch(self.kind, seqs, labels, self.max_len,

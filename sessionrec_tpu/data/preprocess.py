@@ -14,6 +14,19 @@ Behaviour-parity pipelines producing the common ``train.txt`` /
   the 1/4 and 1/64 train slices.
 
 Written against pandas >= 2 (the reference used the 0.x API).
+
+PROVENANCE NOTE — the "generic steps" section below is a **behavior-locked
+adaptation** of the reference's ``src/utils/data/preprocess.py:6-132``:
+these are 3-6-line pandas transformations whose *bit-exact output*
+defines dataset parity (the emitted train/test splits feed every
+accuracy comparison), so each step deliberately keeps the reference's
+function decomposition and pandas statements rather than re-deriving
+them.  Everything TPU-facing in this repo (kernels, models, runtime) is
+an independent design; this offline CPU module is the one sanctioned
+near-verbatim surface (SURVEY.md §7.2 step 6).  The yoochoose stage-1
+section further down is an independent rewrite (dict-based, direct text
+emission) verified equivalent against the reference script by
+tests/test_preprocess.py.
 """
 
 from __future__ import annotations
@@ -190,16 +203,28 @@ def preprocess_lastfm(dataset_dir, csv_file):
 # yoochoose: stage 1 (SR-GNN-style; datasets/preprocess_yoochoose.py)
 # ---------------------------------------------------------------------------
 
-def preprocess_yoochoose_stage1(dataset_dir, clicks_dat, max_len=19):
+def preprocess_yoochoose_stage1(dataset_dir, clicks_dat):
     """Parse yoochoose-clicks.dat, filter, split test = last day, renumber
-    items in encounter order starting from 1, write 1/4 and 1/64 slices.
+    items in encounter order starting from 0, write 1/4 and 1/64 slices.
 
     Mirrors datasets/preprocess_yoochoose.py:29-241 but emits the common
     text format directly (the reference round-trips through pickles and
-    then converts in preprocess.py:134-152).  ``num_items`` = max item id
-    + 1 (the reference writes max item id, an off-by-one its own scripts
-    carry a commented `num_items += 5` fudge for, main_msgifsr.py:134 —
-    fixed here, documented).
+    then converts in preprocess.py:134-152).  Parity decisions, written
+    down per SURVEY.md §7.4:
+
+    * **No truncation.**  The reference stage-1 never truncates sessions
+      (preprocess_yoochoose.py:134-155 passes them through whole); long
+      sessions are instead capped *at load time* by the training
+      pipeline's ``--max-len`` (DataConfig.max_len), which keeps each
+      prefix's most recent ``max_len`` items.
+    * **Item ids are 0-based** in train-encounter order, exactly the
+      reference's ``item_ctr = 0`` loop (preprocess_yoochoose.py:138-148).
+    * **``num_items`` = catalog size = max item id + 1.**  The reference
+      writes the max item id itself (src/utils/data/preprocess.py:140-150)
+      — with 0-based ids that *undercounts by one*, which is why its
+      scripts carry a commented ``num_items += 5`` fudge
+      (main_msgifsr.py:134).  Fixed here: the value written is the true
+      table size, consistent with the other datasets' pipelines.
     """
     import csv
     import operator
@@ -254,9 +279,10 @@ def preprocess_yoochoose_stage1(dataset_dir, clicks_dat, max_len=19):
     tes_sess = sorted([(s, d) for s, d in dates if d > splitdate],
                       key=operator.itemgetter(1))
 
-    # renumber items starting at 1 in train-encounter order
+    # renumber items starting at 0 in train-encounter order
+    # (preprocess_yoochoose.py:137-148); sessions pass through whole
     item_dict = {}
-    item_ctr = 1
+    item_ctr = 0
     train_seqs = []
     for s, _ in tra_sess:
         outseq = []
@@ -266,15 +292,15 @@ def preprocess_yoochoose_stage1(dataset_dir, clicks_dat, max_len=19):
                 item_ctr += 1
             outseq.append(item_dict[i])
         if len(outseq) >= 2:
-            train_seqs.append(outseq[-max_len:] if max_len else outseq)
+            train_seqs.append(outseq)
     test_seqs = []
     for s, _ in tes_sess:
         outseq = [item_dict[i] for i in sess_clicks[s] if i in item_dict]
         if len(outseq) >= 2:
-            test_seqs.append(outseq[-max_len:] if max_len else outseq)
+            test_seqs.append(outseq)
 
     print(f"train sessions: {len(train_seqs)}, test sessions: "
-          f"{len(test_seqs)}, items: {item_ctr - 1}")
+          f"{len(test_seqs)}, items: {item_ctr}")
 
     def write(split_dir, train):
         split_dir.mkdir(parents=True, exist_ok=True)
@@ -284,7 +310,9 @@ def preprocess_yoochoose_stage1(dataset_dir, clicks_dat, max_len=19):
         with open(split_dir / "test.txt", "w") as f:
             for seq in test_seqs:
                 f.write(",".join(map(str, seq)) + "\n")
-        num_items = max((max(s) for s in train + test_seqs), default=0) + 1
+        # catalog size = max id + 1 (0-based ids; see docstring — the
+        # reference writes max id and fudges downstream)
+        num_items = max((max(s) for s in train + test_seqs), default=-1) + 1
         with open(split_dir / "num_items.txt", "w") as f:
             f.write(str(num_items))
 

@@ -45,6 +45,12 @@ def make_loaders(cfg, model_name=None, order=1):
         train_sessions = train_sessions[:-num_valid]
     max_len = cfg.max_len or max(max_session_len(train_sessions),
                                  max_session_len(test_sessions))
+    if cfg.max_len is None and max_len > 50:
+        # yoochoose stage-1 output is untruncated; a huge static node cap
+        # makes the dense [B, N, N] graphs (and compile) explode
+        log.warning(
+            "longest session is %d items; consider --max-len 20 "
+            "(prefixes keep their most recent items)", max_len)
     kind = {"srgnn": "session", "niser": "session", "lessr": "lessr",
             "msgifsr": "ccs"}[model_name]
     train_loader = BatchLoader(

@@ -66,23 +66,74 @@ def test_diginetica_pipeline(tmp_path):
     assert {i for s in test for i in s} <= {i for s in train for i in s}
 
 
-def test_yoochoose_stage1(tmp_path):
+def _synthetic_yoochoose(tmp_path, n_sessions=200, long_tail=True):
     rng = np.random.default_rng(2)
     rows = []
-    for sid in range(200):
+    for sid in range(n_sessions):
         day = int(rng.integers(0, 20))
-        for j in range(int(rng.integers(2, 6))):
+        # include some sessions well past 20 items: stage-1 must NOT
+        # truncate them (reference passes sessions through whole)
+        n = int(rng.integers(25, 40)) if (long_tail and sid % 17 == 0) \
+            else int(rng.integers(2, 6))
+        for j in range(n):
             ts = f"2014-04-{day + 1:02d}T10:{j:02d}:00.000Z"
             rows.append(f"{sid},{ts},{int(rng.integers(100, 140))},0")
     raw = tmp_path / "yoochoose-clicks.dat"
     raw.write_text("\n".join(rows) + "\n")
+    return raw
+
+
+def test_yoochoose_stage1(tmp_path):
+    raw = _synthetic_yoochoose(tmp_path)
     pp.preprocess_yoochoose_stage1(tmp_path, raw)
     for split in ["yoochoose_full", "yoochoose1_4", "yoochoose1_64"]:
         train, test, num_items = read_dataset(tmp_path / split)
         assert len(train) > 0
-        assert all(0 < i < num_items for s in train + test for i in s)
-    full, _, _ = read_dataset(tmp_path / "yoochoose_full")
+        # ids 0-based, dense under num_items (parity with reference's
+        # item_ctr=0 renumbering; num_items = max id + 1)
+        assert all(0 <= i < num_items for s in train + test for i in s)
+    full, _, num_items_full = read_dataset(tmp_path / "yoochoose_full")
+    assert min(i for s in full for i in s) == 0
+    # sessions are NOT truncated at stage-1 (capping happens at load time)
+    assert max(len(s) for s in full) > 20
     quarter, _, _ = read_dataset(tmp_path / "yoochoose1_4")
     assert len(quarter) == len(full) // 4
     # 1/4 slice is the tail (most recent sessions)
     assert quarter == full[-(len(full) // 4):]
+
+
+REF_STAGE1 = "/root/reference/datasets/preprocess_yoochoose.py"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_STAGE1),
+                    reason="reference script not available")
+def test_yoochoose_stage1_matches_reference_script(tmp_path):
+    """Oracle test: run the reference stage-1 script on the same synthetic
+    clicks file and require identical session sequences, counts, and item
+    numbering in the 1/4 and 1/64 slices."""
+    import pickle
+    import subprocess
+    import sys
+
+    _synthetic_yoochoose(tmp_path)
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    (ref_dir / "yoochoose-clicks.dat").write_text(
+        (tmp_path / "yoochoose-clicks.dat").read_text())
+    subprocess.run([sys.executable, REF_STAGE1, "--dataset", "yoochoose"],
+                   cwd=ref_dir, check=True, capture_output=True)
+
+    ours_dir = tmp_path / "ours"
+    pp.preprocess_yoochoose_stage1(
+        ours_dir, tmp_path / "yoochoose-clicks.dat")
+
+    for split in ["yoochoose1_4", "yoochoose1_64"]:
+        ref_train = pickle.load(open(ref_dir / split / "train_pre.txt", "rb"))[0]
+        ref_test = pickle.load(open(ref_dir / split / "test_pre.txt", "rb"))[0]
+        train, test, num_items = read_dataset(ours_dir / split)
+        assert train == ref_train
+        assert test == ref_test
+        # our num_items is the true catalog size; the reference's stage-2
+        # would write max id (one less with 0-based ids)
+        max_id = max(i for s in ref_train + ref_test for i in s)
+        assert num_items == max_id + 1
