@@ -74,7 +74,14 @@ class BatchLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.use_native = use_native
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle stream to an epoch (deterministic resume: the
+        order of epoch k is a pure function of (seed, k), so a resumed
+        run replays exactly the stream an uninterrupted run would see)."""
+        self.epoch = int(epoch)
 
     def __len__(self):
         n = len(self.index)
@@ -89,7 +96,8 @@ class BatchLoader:
     def _epoch_order(self):
         order = np.arange(len(self.index))
         if self.shuffle:
-            self._rng.shuffle(order)
+            np.random.default_rng((self.seed, self.epoch)).shuffle(order)
+        self.epoch += 1
         return order
 
     def _build(self, ids):

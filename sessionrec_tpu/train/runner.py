@@ -11,6 +11,7 @@ training, train.py:91).  Checkpoint/resume is new, flag-gated.
 
 from __future__ import annotations
 
+import math
 import time
 
 import jax
@@ -218,8 +219,8 @@ class TrainRunner:
     def __init__(self, model, train_loader, test_loader, *, lr=1e-3,
                  weight_decay=1e-4, patience=3, seed=123, cutoff=20,
                  lr_step_size=3, lr_gamma=0.1, eval_before_train=True,
-                 checkpointer=None, unroll=8, fused=True, mesh=None,
-                 metrics=None):
+                 checkpointer=None, checkpoint_every=1, unroll=8, fused=True,
+                 mesh=None, metrics=None):
         self.model = model
         self.train_loader = train_loader
         self.test_loader = test_loader
@@ -227,6 +228,7 @@ class TrainRunner:
         self.cutoff = cutoff
         self.eval_before_train = eval_before_train
         self.checkpointer = checkpointer
+        self.checkpoint_every = max(int(checkpoint_every), 1)
         self.unroll = max(int(unroll), 1)
         self.mesh = mesh
         self.metrics = metrics
@@ -255,6 +257,11 @@ class TrainRunner:
                                                    mesh=mesh)
         self.epoch = 0
         self.batch = 0
+        # early-stop bookkeeping lives on the runner (not train() locals)
+        # so checkpoint/resume reproduces an uninterrupted run exactly
+        self.max_mrr = 0.0
+        self.max_hit = 0.0
+        self.bad_counter = 0
 
     def _place(self, stacked):
         """Place a stacked [G, B, ...] chunk with data-axis sharding."""
@@ -268,10 +275,24 @@ class TrainRunner:
                         self.test_loader, unroll=self.unroll,
                         place=self._place)
 
+    def _drain_losses(self, pending):
+        """Sum pending device-side losses -> mean; abort on non-finite.
+
+        The reference asserts no-NaN on every batch's scores
+        (train.py:98); checking here — at log intervals and epoch ends,
+        where the losses are pulled to host anyway — gives the same
+        abort-on-divergence guarantee without forcing a device sync on
+        every step."""
+        n_real = sum(r for _, r in pending)
+        total = float(sum(float(jnp.sum(l)) for l, _ in pending))
+        if not math.isfinite(total):
+            raise FloatingPointError(
+                f"non-finite training loss at batch {self.batch} "
+                f"(epoch {self.epoch}) — aborting (parity with the "
+                "reference's per-batch NaN assert, train.py:98)")
+        return total / max(n_real, 1)
+
     def train(self, epochs, log_interval=100):
-        max_mrr = 0.0
-        max_hit = 0.0
-        bad_counter = 0
         t = time.time()
         interval_examples = 0
         interval_batches = 0
@@ -281,11 +302,12 @@ class TrainRunner:
             log.info("initial eval: MRR = %.3f%%, Hit = %.3f%%",
                      mrr * 100, hit * 100)
 
-        for _ in range(epochs):
+        while self.epoch < epochs:
             epoch_t = time.time()
             epoch_examples = 0
             pending_losses = []
-            loss = None
+            if hasattr(self.train_loader, "set_epoch"):
+                self.train_loader.set_epoch(self.epoch)
             for chunk in _chunks(self.train_loader, self.unroll):
                 real = len(chunk)
                 batches = self._place(stack_batches(chunk, self.unroll))
@@ -303,10 +325,7 @@ class TrainRunner:
                 interval_batches += real
                 self.batch += real
                 if interval_batches >= log_interval:
-                    n_real = sum(r for _, r in pending_losses)
-                    mean_loss = float(sum(float(jnp.sum(l))
-                                          for l, _ in pending_losses)) \
-                        / max(n_real, 1)
+                    mean_loss = self._drain_losses(pending_losses)
                     pending_losses = []
                     dt = time.time() - t
                     log.info(
@@ -321,8 +340,8 @@ class TrainRunner:
                     t = time.time()
                     interval_examples = 0
                     interval_batches = 0
-            if loss is not None:
-                jax.block_until_ready(loss)
+            if pending_losses:
+                self._drain_losses(pending_losses)
 
             mrr, hit = self.evaluate()
             log.info("epoch %d: MRR = %.3f%%, Hit = %.3f%% "
@@ -336,19 +355,22 @@ class TrainRunner:
                     examples_per_s=epoch_examples
                     / max(time.time() - epoch_t, 1e-9))
 
-            if self.checkpointer is not None:
-                self.checkpointer.save(self.epoch, self.params, self.state,
-                                       self.opt_state,
-                                       metrics={"mrr": mrr, "hit": hit})
-
             # early stop only when BOTH metrics worsened (train.py:118-123)
-            if mrr < max_mrr and hit < max_hit:
-                bad_counter += 1
-                if bad_counter == self.patience:
-                    break
+            stop = False
+            if mrr < self.max_mrr and hit < self.max_hit:
+                self.bad_counter += 1
+                stop = self.bad_counter == self.patience
             else:
-                bad_counter = 0
-            max_mrr = max(max_mrr, mrr)
-            max_hit = max(max_hit, hit)
+                self.bad_counter = 0
+            self.max_mrr = max(self.max_mrr, mrr)
+            self.max_hit = max(self.max_hit, hit)
+
+            if self.checkpointer is not None and (
+                    stop or (self.epoch + 1) % self.checkpoint_every == 0):
+                self.checkpointer.save(self.epoch, self, metrics={
+                    "mrr": mrr, "hit": hit})
+
             self.epoch += 1
-        return max_mrr, max_hit
+            if stop:
+                break
+        return self.max_mrr, self.max_hit

@@ -113,7 +113,9 @@ def run_training(cfg, max_epoch_batches=None):
         cutoff=cfg.train.cutoff, lr_step_size=cfg.train.lr_step_size,
         lr_gamma=cfg.train.lr_gamma,
         eval_before_train=cfg.train.eval_before_train,
-        checkpointer=checkpointer, unroll=cfg.train.unroll,
+        checkpointer=checkpointer,
+        checkpoint_every=cfg.train.checkpoint_every_epochs,
+        unroll=cfg.train.unroll,
         mesh=mesh, metrics=metrics)
     if checkpointer is not None and cfg.train.resume:
         checkpointer.restore_latest(runner)

@@ -26,11 +26,19 @@ class Checkpointer:
         self.dir.mkdir(parents=True, exist_ok=True)
         self._ckpt = ocp.PyTreeCheckpointer()
 
-    def save(self, epoch, params, state, opt_state, metrics=None):
+    def save(self, epoch, runner, metrics=None):
+        """Snapshot everything a bit-identical resume needs: params,
+        model state, optimizer state, the dropout PRNG stream
+        (``step_key``), and the loop counters / early-stop bookkeeping
+        (in the sidecar json)."""
         path = self.dir / f"epoch_{epoch:04d}"
-        tree = {"params": params, "state": state, "opt_state": opt_state}
+        tree = {"params": runner.params, "state": runner.state,
+                "opt_state": runner.opt_state, "step_key": runner.step_key}
         self._ckpt.save(path, tree, force=True)
-        meta = {"epoch": epoch, "metrics": metrics or {}}
+        meta = {"epoch": epoch, "metrics": metrics or {},
+                "batch": runner.batch,
+                "max_mrr": runner.max_mrr, "max_hit": runner.max_hit,
+                "bad_counter": runner.bad_counter}
         with open(self.dir / f"epoch_{epoch:04d}.json", "w") as f:
             json.dump(meta, f)
         log.info("saved checkpoint %s", path)
@@ -47,11 +55,19 @@ class Checkpointer:
             return False
         path = self.dir / f"epoch_{ep:04d}"
         template = {"params": runner.params, "state": runner.state,
-                    "opt_state": runner.opt_state}
+                    "opt_state": runner.opt_state,
+                    "step_key": runner.step_key}
         tree = self._ckpt.restore(path, item=template)
         runner.params = tree["params"]
         runner.state = tree["state"]
         runner.opt_state = tree["opt_state"]
+        runner.step_key = tree["step_key"]
+        with open(self.dir / f"epoch_{ep:04d}.json") as f:
+            meta = json.load(f)
         runner.epoch = ep + 1
+        runner.batch = int(meta.get("batch", 0))
+        runner.max_mrr = float(meta.get("max_mrr", 0.0))
+        runner.max_hit = float(meta.get("max_hit", 0.0))
+        runner.bad_counter = int(meta.get("bad_counter", 0))
         log.info("resumed from %s (epoch %d)", path, ep)
         return True

@@ -1,0 +1,94 @@
+"""Checkpoint/resume determinism and the training-loop NaN abort.
+
+Kill-and-resume must reproduce the uninterrupted run exactly: the
+checkpoint carries params, model state, optimizer state, the dropout PRNG
+stream (step_key), loop counters, and early-stop bookkeeping, and the
+shuffle order of epoch k is a pure function of (seed, k).
+
+The NaN abort is parity with the reference's per-batch assert
+(/root/reference/src/utils/train.py:98), surfaced at log intervals and
+epoch ends where losses hit the host anyway.
+"""
+
+import os
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+SAMPLE_DIR = str(pathlib.Path(__file__).resolve().parent.parent
+                 / "datasets" / "sample")
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SAMPLE_DIR),
+                                reason="sample dataset not present")
+
+
+def _make_runner(ckpt_dir=None, shuffle=True):
+    from sessionrec_tpu.data.io import read_dataset
+    from sessionrec_tpu.data.loader import BatchLoader
+    from sessionrec_tpu.models import build_model
+    from sessionrec_tpu.train.runner import TrainRunner
+    from sessionrec_tpu.utils.checkpoint import Checkpointer
+    from sessionrec_tpu.utils.config import preset
+
+    cfg = preset("niser", embedding_dim=16, num_layers=1)
+    train_sessions, test_sessions, num_items = read_dataset(SAMPLE_DIR)
+    tl = BatchLoader(train_sessions[:400], "session", 128, 20,
+                     shuffle=shuffle, seed=7)
+    el = BatchLoader(test_sessions[:200], "session", 128, 20)
+    model = build_model(cfg.model, num_items)
+    ckpt = Checkpointer(ckpt_dir) if ckpt_dir else None
+    return TrainRunner(model, tl, el, lr=1e-3, weight_decay=1e-4,
+                       patience=10, eval_before_train=False, seed=3,
+                       checkpointer=ckpt, unroll=2)
+
+
+def _flat(params):
+    return np.concatenate([np.asarray(x).ravel()
+                           for x in jax.tree_util.tree_leaves(params)])
+
+
+def test_resume_reproduces_uninterrupted_run(tmp_path):
+    # uninterrupted: 4 epochs straight through
+    r_full = _make_runner(tmp_path / "full")
+    mrr_full, hit_full = r_full.train(4, log_interval=10 ** 9)
+
+    # interrupted: 2 epochs, new process (fresh runner), resume, 2 more
+    r_a = _make_runner(tmp_path / "ab")
+    r_a.train(2, log_interval=10 ** 9)
+    r_b = _make_runner(tmp_path / "ab")
+    assert r_b.checkpointer.restore_latest(r_b)
+    assert r_b.epoch == 2
+    mrr_b, hit_b = r_b.train(4, log_interval=10 ** 9)
+
+    np.testing.assert_allclose(_flat(r_b.params), _flat(r_full.params),
+                               rtol=0, atol=0)
+    assert np.array_equal(np.asarray(r_b.step_key),
+                          np.asarray(r_full.step_key))
+    assert (mrr_b, hit_b) == (mrr_full, hit_full)
+    assert (r_b.max_mrr, r_b.max_hit, r_b.bad_counter) == \
+        (r_full.max_mrr, r_full.max_hit, r_full.bad_counter)
+
+
+def test_checkpoint_every_epochs(tmp_path):
+    r = _make_runner(tmp_path / "every")
+    r.checkpoint_every = 2
+    r.train(4, log_interval=10 ** 9)
+    saved = sorted(p.name for p in (tmp_path / "every").glob("epoch_*.json"))
+    assert saved == ["epoch_0001.json", "epoch_0003.json"]
+
+
+def test_nan_abort():
+    r = _make_runner(None)
+    real_step = r.train_step
+
+    def poisoned(params, state, opt_state, batches, rngs):
+        params, state, opt_state, losses = real_step(params, state,
+                                                     opt_state, batches, rngs)
+        return params, state, opt_state, losses * jnp.nan
+
+    r.train_step = poisoned
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        r.train(1, log_interval=10 ** 9)
