@@ -46,6 +46,12 @@ def _add_train_flags(p):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--data-parallel", type=int, default=1)
     p.add_argument("--model-parallel", type=int, default=1)
+    # multi-host: launch one process per host with the same coordinator
+    # (parallel/multihost.py); device counts are global across processes
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--unroll", type=int, default=8,
                    help="device-side train steps per dispatch (lax.scan)")
     p.add_argument("--compute-dtype", default="float32",
@@ -103,6 +109,9 @@ def build_config(args):
 
 
 def cmd_train(args):
+    if args.coordinator is not None or args.num_processes is not None:
+        from sessionrec_tpu.parallel.multihost import initialize
+        initialize(args.coordinator, args.num_processes, args.process_id)
     from sessionrec_tpu.train.session import run_training
     cfg = build_config(args)
     mrr, hit = run_training(cfg, max_epoch_batches=args.max_epoch_batches)

@@ -60,11 +60,16 @@ class BatchLoader:
       order: CCS order (MSGIFSR only).
       seed: shuffle seed.
       prefetch: number of batches built ahead in a background thread.
+      batch_slice: multi-host — (start, stop) rows of each *global* batch
+        this process materialises (parallel/multihost.py
+        ``local_batch_slice``).  The epoch order stays the global stream;
+        only the built slice is local, so global time-order semantics are
+        preserved across data-parallel hosts (README.md:37).
     """
 
     def __init__(self, sessions, kind, batch_size, max_len, shuffle=False,
                  order=1, seed=0, prefetch=2, drop_last=False,
-                 use_native=True):
+                 use_native=True, batch_slice=None):
         self.index = AugmentedIndex(sessions)
         self.kind = kind
         self.batch_size = batch_size
@@ -76,6 +81,7 @@ class BatchLoader:
         self.use_native = use_native
         self.seed = seed
         self.epoch = 0
+        self.batch_slice = batch_slice
 
     def set_epoch(self, epoch: int):
         """Pin the shuffle stream to an epoch (deterministic resume: the
@@ -101,6 +107,11 @@ class BatchLoader:
         return order
 
     def _build(self, ids):
+        local_size = self.batch_size
+        if self.batch_slice is not None:
+            start, stop = self.batch_slice
+            ids = ids[start:stop]
+            local_size = stop - start
         seqs, labels = [], []
         max_len = self.max_len
         for i in ids:
@@ -114,7 +125,7 @@ class BatchLoader:
             seqs.append(s)
             labels.append(l)
         return _make_batch(self.kind, seqs, labels, self.max_len,
-                           self.batch_size, self.order, self.use_native)
+                           local_size, self.order, self.use_native)
 
     def __iter__(self):
         order = self._epoch_order()

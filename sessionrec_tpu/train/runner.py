@@ -264,9 +264,17 @@ class TrainRunner:
         self.bad_counter = 0
 
     def _place(self, stacked):
-        """Place a stacked [G, B, ...] chunk with data-axis sharding."""
+        """Place a stacked [G, B, ...] chunk with data-axis sharding.
+
+        Multi-process: each host holds only its local rows of every
+        global batch (loader ``batch_slice``); the global array is
+        assembled device-side without any host materialising the full
+        batch (parallel/multihost.py)."""
         if self.mesh is None:
             return stacked
+        if jax.process_count() > 1:
+            from sessionrec_tpu.parallel.multihost import place_chunk
+            return place_chunk(self.mesh, stacked)
         from sessionrec_tpu.parallel.mesh import chunk_sharding
         return jax.device_put(stacked, chunk_sharding(self.mesh, stacked))
 

@@ -35,7 +35,7 @@ from sessionrec_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 
-def make_loaders(cfg, model_name=None, order=1):
+def make_loaders(cfg, model_name=None, order=1, batch_slice=None):
     train_sessions, test_sessions, num_items = read_dataset(cfg.dataset_dir)
     if cfg.valid_split is not None:
         # tail split: last fraction of the (time-ordered) train stream
@@ -56,11 +56,12 @@ def make_loaders(cfg, model_name=None, order=1):
     train_loader = BatchLoader(
         train_sessions, kind, cfg.batch_size, max_len,
         shuffle=cfg.shuffle_train, order=order,
-        prefetch=cfg.num_prefetch, use_native=cfg.use_native_collate)
+        prefetch=cfg.num_prefetch, use_native=cfg.use_native_collate,
+        batch_slice=batch_slice)
     test_loader = BatchLoader(
         test_sessions, kind, cfg.batch_size, max_len, shuffle=False,
         order=order, prefetch=cfg.num_prefetch,
-        use_native=cfg.use_native_collate)
+        use_native=cfg.use_native_collate, batch_slice=batch_slice)
     return train_loader, test_loader, num_items, max_len
 
 
@@ -81,15 +82,30 @@ def _make_mesh(cfg_train):
 
 def run_training(cfg, max_epoch_batches=None):
     name = cfg.model.name.lower()
+
+    multihost = jax.process_count() > 1
+    if multihost and jax.process_index() != 0:
+        # secondary processes stay quiet (primary-only observability)
+        import logging
+        logging.getLogger("sessionrec_tpu").setLevel(logging.WARNING)
+
+    mesh = _make_mesh(cfg.train)
+    batch_slice = None
+    if mesh is not None and multihost:
+        from sessionrec_tpu.parallel.multihost import local_batch_slice
+        batch_slice = local_batch_slice(mesh, cfg.data.batch_size)
+        log.info("multi-host: %d processes; this host builds batch rows "
+                 "[%d, %d)", jax.process_count(), *batch_slice)
+
     train_loader, test_loader, num_items, max_len = make_loaders(
-        cfg.data, model_name=name, order=cfg.model.order)
+        cfg.data, model_name=name, order=cfg.model.order,
+        batch_slice=batch_slice)
     log.info("dataset %s: %d train / %d test examples, %d items, max_len %d",
              cfg.data.dataset_dir, train_loader.num_examples,
              test_loader.num_examples, num_items, max_len)
     model = build_model(cfg.model, num_items)
     log.info("model %s on %s", name, jax.devices()[0].platform)
 
-    mesh = _make_mesh(cfg.train)
     if mesh is not None:
         log.info("mesh: %s over %d devices", dict(mesh.shape), mesh.size)
 
@@ -99,7 +115,8 @@ def run_training(cfg, max_epoch_batches=None):
         checkpointer = Checkpointer(cfg.train.checkpoint_dir)
 
     metrics = None
-    if getattr(cfg.train, "metrics_file", None):
+    if getattr(cfg.train, "metrics_file", None) and (
+            not multihost or jax.process_index() == 0):
         from sessionrec_tpu.utils.metrics import MetricsLogger
         metrics = MetricsLogger(cfg.train.metrics_file)
 

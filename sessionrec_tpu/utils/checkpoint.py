@@ -35,12 +35,15 @@ class Checkpointer:
         tree = {"params": runner.params, "state": runner.state,
                 "opt_state": runner.opt_state, "step_key": runner.step_key}
         self._ckpt.save(path, tree, force=True)
-        meta = {"epoch": epoch, "metrics": metrics or {},
-                "batch": runner.batch,
-                "max_mrr": runner.max_mrr, "max_hit": runner.max_hit,
-                "bad_counter": runner.bad_counter}
-        with open(self.dir / f"epoch_{epoch:04d}.json", "w") as f:
-            json.dump(meta, f)
+        # the array save above is collective (all processes participate);
+        # the sidecar metadata is written once, by the primary
+        if jax.process_index() == 0:
+            meta = {"epoch": epoch, "metrics": metrics or {},
+                    "batch": runner.batch,
+                    "max_mrr": runner.max_mrr, "max_hit": runner.max_hit,
+                    "bad_counter": runner.bad_counter}
+            with open(self.dir / f"epoch_{epoch:04d}.json", "w") as f:
+                json.dump(meta, f)
         log.info("saved checkpoint %s", path)
 
     def latest_epoch(self):
