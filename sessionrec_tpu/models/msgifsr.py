@@ -212,6 +212,26 @@ class MSGIFSR:
         sr, table, _ = self._session_repr(params, batch, rng, training)
         return sr[:, 0], table, state
 
+    has_multi_head = True
+
+    def head_multi(self, params, state, batch, *, training=False, rng=None):
+        """Inputs of the fused REnorm/fusion loss (ops/xent_multi.py):
+        ``(sr [B,K,d], raw table, phi [B,K,2] | None, alpha [K],
+        iids [B,N] with -1 padding, new_state)``.  ``iids`` are the
+        level-1 (unique session item) ids driving REnorm membership —
+        the [B, P] session mask of the materialised path never exists."""
+        rng = L.RngGen(rng) if rng is not None else None
+        sr, table, cp = self._session_repr(params, batch, rng, training)
+        phi = None
+        if self.extra:
+            sc = cp["sc_sr"][0]
+            phi = jax.nn.softmax(
+                L.linear(sc["l2"], jax.nn.relu(L.linear(sc["l1"], sr)))
+                .astype(jnp.float32), axis=-1)                # [B, K, 2]
+        lv1 = batch.levels[0]
+        iids = jnp.where(lv1.mask.astype(bool), lv1.iid[:, :, 0], -1)
+        return sr, table, phi, params["alpha"], iids, state
+
     def apply(self, params, state, batch, *, training=False, rng=None):
         rng = L.RngGen(rng) if rng is not None else None
         K = self.order

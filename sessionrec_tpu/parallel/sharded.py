@@ -55,8 +55,35 @@ def _fused_loss_mesh_fwd(mesh, scale, num_items, normalize_table,
     return loss, (sr, table, labels, valid, lse, den)
 
 
+def _table_grad_layout(mesh, table):
+    """How the table gradient leaves the backward shard_map.
+
+    Every data shard contributes to every table row.  When the local row
+    count divides the data axis we **reduce-scatter** over ``data``
+    instead of psum-ing: each device keeps only ``P/(mp*dp)`` summed rows
+    (ZeRO-style), halving the table's per-step collective bytes (one
+    reduce-scatter of the grad + one all-gather of the *update* vs. a
+    full all-reduce of the grad), and the embedding's Adam moments shard
+    the same way (``opt_state_sharding``), cutting their memory by dp.
+    """
+    dp = mesh.shape[DATA_AXIS]
+    mp = mesh.shape[MODEL_AXIS]
+    scatter = (table.shape[0] // mp) % dp == 0 and dp > 1
+    spec = P((MODEL_AXIS, DATA_AXIS), None) if scatter \
+        else P(MODEL_AXIS, None)
+    return scatter, spec
+
+
+def _reduce_table_grad(dtab, scatter):
+    if scatter:
+        return jax.lax.psum_scatter(dtab, DATA_AXIS, scatter_dimension=0,
+                                    tiled=True)
+    return jax.lax.psum(dtab, DATA_AXIS)
+
+
 def _fused_loss_mesh_bwd(mesh, scale, num_items, normalize_table, res, g):
     sr, table, labels, valid, lse, den = res
+    scatter, tab_spec = _table_grad_layout(mesh, table)
 
     def local(sr, table_local, labels, valid, lse):
         # cotangent of each per-row loss under the masked global mean
@@ -66,14 +93,14 @@ def _fused_loss_mesh_bwd(mesh, scale, num_items, normalize_table, res, g):
             num_items=num_items, normalize_table=normalize_table,
             axis_name=MODEL_AXIS)
         # every data shard contributes to every table row
-        dtab = jax.lax.psum(dtab, DATA_AXIS)
+        dtab = _reduce_table_grad(dtab, scatter)
         return dsr, dtab
 
     dsr, dtab = shard_map(
         local, mesh=mesh,
         in_specs=(P(DATA_AXIS, None), P(MODEL_AXIS, None), P(DATA_AXIS),
                   P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(DATA_AXIS, None), P(MODEL_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), tab_spec),
         check_vma=False,
     )(sr, table, labels, valid, lse)
     return dsr, dtab.astype(table.dtype), None, None
@@ -100,6 +127,182 @@ def fused_nll_loss_sharded(mesh, sr, table, labels, valid, *, scale: float,
                             bool(normalize_table), sr, table, labels, valid)
 
 
+# ---------------------------------------------------------------------------
+# fused MSGIFSR REnorm/fusion loss over the mesh (ops/xent_multi.py per
+# catalog shard; same explicit-bwd custom_vjp structure as above)
+# ---------------------------------------------------------------------------
+
+def _merge_partial_lse(m, s, axis_name):
+    """Finish a log-sum-exp from per-shard (max, relative sum-exp)."""
+    m_g = jax.lax.pmax(m, axis_name)
+    m_safe = jnp.maximum(m_g, xent.NEG_INF * 0.5)
+    s_g = jax.lax.psum(s * jnp.exp(jnp.maximum(m, xent.NEG_INF) - m_safe),
+                       axis_name)
+    return m_safe + jnp.log(jnp.maximum(s_g, jnp.finfo(jnp.float32).tiny))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _fused_multi_mesh(mesh, scale, num_items, normalize_table, extra,
+                      fusion, sr, table, labels, valid, iids, phi, alpha):
+    loss, _ = _fused_multi_mesh_fwd(mesh, scale, num_items, normalize_table,
+                                    extra, fusion, sr, table, labels, valid,
+                                    iids, phi, alpha)
+    return loss
+
+
+def _fused_multi_mesh_fwd(mesh, scale, num_items, normalize_table, extra,
+                          fusion, sr, table, labels, valid, iids, phi,
+                          alpha):
+    from sessionrec_tpu.ops import xent_multi as xm
+    n_sess = iids.shape[1]
+
+    def local(sr, table_local, labels, valid, iids, phi, alpha):
+        B = sr.shape[0]
+        sr3 = jnp.swapaxes(sr, 0, 1)
+        ploc = table_local.shape[0]
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        offset = (shard * ploc).astype(jnp.int32)
+        n_valid = jnp.clip(num_items - offset, 0, ploc)
+        lbl_local, _ = xent._localize_labels(labels, ploc, num_items,
+                                             MODEL_AXIS)
+        sr3p, tabp, lblp, iidp = xm._pad_operands(
+            sr3, table_local, lbl_local, iids.astype(jnp.int32))
+        m_in, s_in, m_ex, s_ex, zl = xm._fwd_pallas(
+            sr3p, tabp, lblp, iidp, n_valid, offset, scale=scale,
+            normalize_table=normalize_table, n_sess=n_sess)
+        lse_in = _merge_partial_lse(m_in, s_in, MODEL_AXIS)[:, :B]
+        lse_ex = _merge_partial_lse(m_ex, s_ex, MODEL_AXIS)[:, :B]
+        zl_g = jax.lax.psum(zl, MODEL_AXIS)[:, :B]
+        lbl_in = jnp.any(iids == labels[:, None].astype(iids.dtype), axis=1)
+        per_row = xm.combine_stats(zl_g, lse_in, lse_ex, phi, alpha, lbl_in,
+                                   extra=extra, fusion=fusion)
+        v = valid.astype(per_row.dtype)
+        num = jax.lax.psum(jnp.sum(per_row * v), DATA_AXIS)
+        den = jnp.maximum(jax.lax.psum(jnp.sum(v), DATA_AXIS), 1.0)
+        return num / den, zl_g, lse_in, lse_ex, den
+
+    loss, zl, lse_in, lse_ex, den = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None), P(MODEL_AXIS, None),
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None, None), P()),
+        out_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS),
+                   P(None, DATA_AXIS), P()),
+        check_vma=False,
+    )(sr, table, labels, valid, iids, phi, alpha)
+    return loss, (sr, table, labels, valid, iids, phi, alpha, zl, lse_in,
+                  lse_ex, den)
+
+
+def _fused_multi_mesh_bwd(mesh, scale, num_items, normalize_table, extra,
+                          fusion, res, g):
+    from sessionrec_tpu.ops import xent_multi as xm
+    (sr, table, labels, valid, iids, phi, alpha, zl, lse_in, lse_ex,
+     den) = res
+    n_sess = iids.shape[1]
+    scatter, tab_spec = _table_grad_layout(mesh, table)
+
+    def local(sr, table_local, labels, valid, iids, phi, alpha, zl, lse_in,
+              lse_ex, den):
+        B = sr.shape[0]
+        lbl_in = jnp.any(iids == labels[:, None].astype(iids.dtype), axis=1)
+        v = valid.astype(jnp.float32)
+
+        def combined(zl_, lin_, lex_, phi_, alpha_):
+            per_row = xm.combine_stats(zl_, lin_, lex_, phi_, alpha_, lbl_in,
+                                       extra=extra, fusion=fusion)
+            return jnp.sum(per_row * v) * (g / den)
+
+        gz, gin, gex, gphi, galpha = jax.grad(
+            combined, argnums=(0, 1, 2, 3, 4))(zl, lse_in, lse_ex, phi,
+                                               alpha)
+
+        sr3 = jnp.swapaxes(sr, 0, 1)
+        ploc = table_local.shape[0]
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        offset = (shard * ploc).astype(jnp.int32)
+        n_valid = jnp.clip(num_items - offset, 0, ploc)
+        lbl_local, _ = xent._localize_labels(labels, ploc, num_items,
+                                             MODEL_AXIS)
+        sr3p, tabp, lblp, iidp = xm._pad_operands(
+            sr3, table_local, lbl_local, iids.astype(jnp.int32))
+        Bp = sr3p.shape[1]
+        pad = ((0, 0), (0, Bp - B))
+        dsr, dtab = xm._bwd_pallas(
+            jnp.pad(gz, pad), jnp.pad(gin, pad), jnp.pad(gex, pad),
+            sr3p, tabp, lblp, iidp, jnp.pad(lse_in, pad),
+            jnp.pad(lse_ex, pad), n_valid, offset, scale=scale,
+            normalize_table=normalize_table, n_sess=n_sess)
+        dsr = jax.lax.psum(dsr, MODEL_AXIS)[:, :B, :sr.shape[2]]
+        dtab = _reduce_table_grad(dtab[:ploc, :table_local.shape[1]],
+                                  scatter)
+        galpha = jax.lax.psum(galpha, DATA_AXIS)
+        return (jnp.swapaxes(dsr, 0, 1).astype(sr.dtype),
+                dtab.astype(table_local.dtype), gphi, galpha)
+
+    dsr, dtab, gphi, galpha = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None), P(MODEL_AXIS, None),
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None, None), P(), P(None, DATA_AXIS),
+                  P(None, DATA_AXIS), P(None, DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS, None, None), tab_spec,
+                   P(DATA_AXIS, None, None), P()),
+        check_vma=False,
+    )(sr, table, labels, valid, iids, phi, alpha, zl, lse_in, lse_ex, den)
+    return dsr, dtab, None, None, None, gphi, galpha
+
+
+_fused_multi_mesh.defvjp(_fused_multi_mesh_fwd, _fused_multi_mesh_bwd)
+
+
+def fused_multi_loss_sharded(mesh, sr, table, labels, valid, iids, phi,
+                             alpha, *, scale: float, num_items: int,
+                             normalize_table: bool, extra: bool,
+                             fusion: bool):
+    """Mesh version of ``ops.xent_multi.multi_nll_loss``: the catalog is
+    row-sharded over ``model``, the batch over ``data``; each shard
+    streams only its table rows through the multi-order REnorm kernel and
+    the per-partition (max, sum-exp, label-logit) stats merge with [K, B]
+    collectives.  phi/alpha gradients come from re-differentiating the
+    tiny stats combiner in the backward shard_map."""
+    if phi is None:
+        phi = jnp.zeros(sr.shape[:2] + (2,), jnp.float32)
+    return _fused_multi_mesh(mesh, float(scale), int(num_items),
+                             bool(normalize_table), bool(extra),
+                             bool(fusion), sr, table,
+                             labels.astype(jnp.int32), valid,
+                             iids.astype(jnp.int32), phi, alpha)
+
+
+def opt_state_sharding(mesh, opt_state_shapes):
+    """Shardings for the optimizer state: embedding-table moments shard
+    over BOTH mesh axes (rows split model-major, data-minor — matching
+    the reduce-scattered gradient layout of ``_table_grad_layout``), so
+    Adam's mu/nu for the one big tensor cost ``P*D/(mp*dp)`` per device
+    instead of ``P*D/mp``.  Everything else follows the param rule
+    (replicated; 2-D leaves named 'embedding' row-sharded over model)."""
+    dp = mesh.shape[DATA_AXIS]
+    mp = mesh.shape[MODEL_AXIS]
+
+    def spec(path, leaf):
+        keys = [getattr(e, "key", getattr(e, "name", None)) for e in path]
+        if "embedding" in keys and getattr(leaf, "ndim", 0) == 2:
+            if (leaf.shape[0] // mp) % dp == 0 and dp > 1:
+                return NamedSharding(mesh, P((MODEL_AXIS, DATA_AXIS), None))
+            return NamedSharding(mesh, P(MODEL_AXIS, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, opt_state_shapes)
+
+
+def init_opt_state(mesh, tx, params):
+    """tx.init with ZeRO placement for the table moments."""
+    shapes = jax.eval_shape(tx.init, params)
+    sh = opt_state_sharding(mesh, shapes)
+    return jax.jit(tx.init, out_shardings=sh)(params)
+
+
 def place_params(mesh, params):
     return jax.device_put(params, param_sharding(mesh, params))
 
@@ -114,7 +317,7 @@ def init_sharded(model, tx, mesh, key):
     params = place_params(mesh, params)
     state = jax.device_put(state, jax.tree_util.tree_map(
         lambda _: NamedSharding(mesh, P()), state))
-    opt_state = jax.jit(tx.init)(params)   # moments inherit param sharding
+    opt_state = init_opt_state(mesh, tx, params)
     return params, state, opt_state
 
 

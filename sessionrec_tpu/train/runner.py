@@ -56,12 +56,48 @@ def make_loss_fn(model, state, batch, rng, *, fused=True, mesh=None):
             return loss, new_state
         return loss_fn
 
+    if fused and getattr(model, "has_multi_head", False):
+        # MSGIFSR with REnorm and/or IFR fusion: fused multi-order loss —
+        # neither the [B, P] score tensors nor the session mask exist
+        def loss_fn(p):
+            sr, table, phi, alpha, iids, new_state = model.head_multi(
+                p, state, batch, training=True, rng=rng)
+            kw = dict(scale=float(model.scale), num_items=model.num_items,
+                      normalize_table=getattr(model, "table_norm", False),
+                      extra=model.extra, fusion=model.fusion)
+            if mesh is not None:
+                from sessionrec_tpu.parallel.sharded import \
+                    fused_multi_loss_sharded
+                loss = fused_multi_loss_sharded(
+                    mesh, sr, table, batch.labels, batch.valid, iids, phi,
+                    alpha, **kw)
+            else:
+                from sessionrec_tpu.ops.xent_multi import multi_nll_loss
+                loss = multi_nll_loss(sr, table, batch.labels, batch.valid,
+                                      iids, phi, alpha, **kw)
+            return loss, new_state
+        return loss_fn
+
     def loss_fn(p):
         log_probs, new_state = model.apply(p, state, batch,
                                            training=True, rng=rng)
         loss = scoring.nll_loss(log_probs, batch.labels, batch.valid)
         return loss, new_state
     return loss_fn
+
+
+def _constrain_params(mesh, params):
+    """Pin updated params to their canonical sharding (embedding row-
+    sharded over model, replicated over data).  With the ZeRO table
+    layout (parallel/sharded.py:_table_grad_layout) the Adam update
+    leaves the embedding delta sharded over both axes; this makes the
+    data-axis all-gather of the *update* explicit instead of letting XLA
+    hand back a differently-sharded table for the next step."""
+    if mesh is None:
+        return params
+    from sessionrec_tpu.parallel.mesh import param_sharding
+    return jax.lax.with_sharding_constraint(params,
+                                            param_sharding(mesh, params))
 
 
 def make_train_step(model, tx, *, fused=True, mesh=None):
@@ -74,7 +110,8 @@ def make_train_step(model, tx, *, fused=True, mesh=None):
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params = _constrain_params(mesh,
+                                   optax.apply_updates(params, updates))
         return params, new_state, opt_state, loss
 
     return jax.jit(train_step, donate_argnums=(0, 1, 2))
@@ -110,7 +147,8 @@ def make_unrolled_train_step(model, tx, unroll: int, *, fused=True,
             (loss, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params = _constrain_params(mesh,
+                                       optax.apply_updates(params, updates))
             return (params, new_state, opt_state), loss
 
         def skip(operand):
@@ -242,11 +280,13 @@ class TrainRunner:
         if mesh is not None:
             from sessionrec_tpu.parallel.mesh import replicated
             from sessionrec_tpu.parallel.sharded import (
-                make_sharded_unrolled_eval_step, place_params)
+                init_opt_state, make_sharded_unrolled_eval_step,
+                place_params)
             self.params = place_params(mesh, self.params)
             self.state = jax.device_put(self.state,
                                         replicated(mesh, self.state))
-            self.opt_state = jax.jit(self.tx.init)(self.params)
+            # ZeRO layout: the table's Adam moments shard over both axes
+            self.opt_state = init_opt_state(mesh, self.tx, self.params)
             self.eval_step = make_sharded_unrolled_eval_step(model, mesh,
                                                              cutoff)
         else:

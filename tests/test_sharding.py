@@ -46,11 +46,13 @@ def test_sharded_train_step_matches_single_device():
     o1 = tx.init(p1)
     p1, _, o1, loss1 = step(p1, state, o1, batch, rng)
 
-    # 4x2 (data, model) mesh
+    # 4x2 (data, model) mesh; the mesh-aware step pins updated params
+    # back to the canonical sharding (ZeRO moments shard further)
     mesh = M.make_mesh(data=4, model=2)
     p2, s2, o2 = S.init_sharded(model, tx, mesh, jax.random.PRNGKey(0))
     b2 = S.place_batch(mesh, batch)
-    p2, _, o2, loss2 = step(p2, s2, o2, b2, rng)
+    step_mesh = make_train_step(model, tx, mesh=mesh)
+    p2, _, o2, loss2 = step_mesh(p2, s2, o2, b2, rng)
 
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p1["embedding"]),

@@ -1,0 +1,144 @@
+"""ZeRO layout for the embedding table: the backward reduce-scatters the
+table gradient over the data axis (instead of all-reducing it) and the
+table's Adam moments shard over both mesh axes.  Verified on the compiled
+HLO of the mesh train step: a reduce-scatter exists, and total collective
+bytes drop vs. the forced all-reduce layout."""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sessionrec_tpu.parallel import mesh as M
+from sessionrec_tpu.parallel import sharded as S
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 devices")
+
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "pred": 1, "s8": 1, "u8": 1, "f64": 8, "s64": 8}
+
+_COLL_RE = re.compile(
+    r"=\s+(\(?[a-z0-9]+\[[^=]*?)\s+"
+    r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
+    r"all-to-all)(?:-start)?\(")
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+
+
+def _unwrap(hlo_text):
+    """Join HLO continuation lines (long tuple shapes wrap) so each
+    statement is one line; strip /*index=N*/ comments (their '=' breaks
+    the statement regex)."""
+    hlo_text = re.sub(r"/\*.*?\*/", "", hlo_text)
+    out = []
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        if out and not (s.startswith("%") or s.startswith("ROOT")
+                        or s.endswith("{") or s == "}" or s.startswith("HloModule")
+                        or s.startswith("ENTRY")):
+            out[-1] += " " + s
+        else:
+            out.append(s)
+    return "\n".join(out)
+
+
+def collective_bytes(hlo_text):
+    """Result bytes per collective kind, plus per-op shape list."""
+    out, shapes_by_kind = {}, {}
+    for m in _COLL_RE.finditer(_unwrap(hlo_text)):
+        shapes, kind = m.group(1), m.group(2)
+        total = 0
+        for dt, dims in _SHAPE_RE.findall(shapes):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * _DTYPE_BYTES.get(dt, 4)
+            shapes_by_kind.setdefault(kind, []).append(f"{dt}[{dims}]")
+        out[kind] = out.get(kind, 0) + total
+    return out, shapes_by_kind
+
+
+def _compiled_train_step(mesh):
+    from sessionrec_tpu.graph import builders
+    from sessionrec_tpu.graph.batch import SessionGraphBatch
+    from sessionrec_tpu.models import NISER
+    from sessionrec_tpu.train.optim import make_optimizer
+    from sessionrec_tpu.train.runner import make_train_step
+
+    num_items = 1000
+    rng = np.random.default_rng(0)
+    seqs = [list(rng.integers(0, num_items, size=rng.integers(2, 9)))
+            for _ in range(16)]
+    labels = list(rng.integers(0, num_items, size=16))
+    batch = SessionGraphBatch(
+        **builders.build_session_batch(seqs, labels, 8, 16))
+
+    model = NISER(num_items=num_items, embedding_dim=64, num_layers=1,
+                  feat_drop=0.0)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(params, lr=1e-2, weight_decay=1e-4,
+                        steps_per_epoch=10)
+    params, state, opt_state = S.init_sharded(model, tx, mesh,
+                                              jax.random.PRNGKey(0))
+    batch = S.place_batch(mesh, batch)
+    step = make_train_step(model, tx, fused=True, mesh=mesh)
+    lowered = step.lower(params, state, opt_state, batch,
+                         jax.random.PRNGKey(1))
+    return lowered.compile().as_text()
+
+
+def test_table_grad_reduce_scatter(monkeypatch):
+    """ZeRO table layout: the [P/mp, D] table-grad all-reduce over data
+    is replaced by a reduce-scatter (1/dp the result bytes) + one
+    all-gather of the *update*.  On a ring that is the same wire volume
+    as the all-reduce — the wins are the dp-fold smaller Adam moments and
+    the de-duplicated per-replica update math — but the HLO must show the
+    layout actually changed: a table-sized reduce-scatter exists and the
+    all-reduce no longer carries the table."""
+    # NISER dim 64, 1000 items -> padded table [1024, 64] f32, [512, 64]
+    # per model shard = 131072 bytes
+    table_shard_bytes = 512 * 64 * 4
+    mesh = M.make_mesh(data=4, model=2)
+    hlo_scatter = _compiled_train_step(mesh)
+
+    # force the old all-reduce layout for comparison
+    from jax.sharding import PartitionSpec as P
+    monkeypatch.setattr(
+        S, "_table_grad_layout",
+        lambda mesh, table: (False, P(M.MODEL_AXIS, None)))
+    hlo_psum = _compiled_train_step(mesh)
+
+    b_scatter, shapes_s = collective_bytes(hlo_scatter)
+    b_psum, _ = collective_bytes(hlo_psum)
+    # table-sized reduce-scatter present (result = 1/dp of the shard)
+    assert b_scatter.get("reduce-scatter", 0) >= table_shard_bytes // 4, \
+        (b_scatter, shapes_s)
+    # the all-reduce lost the table: its result bytes drop by >= the
+    # table shard
+    assert b_psum.get("all-reduce", 0) - b_scatter.get("all-reduce", 0) \
+        >= table_shard_bytes, (b_scatter, b_psum)
+
+
+def test_moments_sharded_over_both_axes():
+    mesh = M.make_mesh(data=4, model=2)
+    from sessionrec_tpu.models import NISER
+    from sessionrec_tpu.train.optim import make_optimizer
+
+    model = NISER(num_items=1000, embedding_dim=64, num_layers=1)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(params, lr=1e-2, weight_decay=1e-4,
+                        steps_per_epoch=10)
+    params = S.place_params(mesh, params)
+    opt_state = S.init_opt_state(mesh, tx, params)
+    # find the adam mu leaf for the embedding
+    mus = [x for path, x in jax.tree_util.tree_leaves_with_path(opt_state)
+           if any(getattr(e, "key", getattr(e, "name", "")) == "embedding"
+                  for e in path) and getattr(x, "ndim", 0) == 2]
+    assert mus, "no embedding moment leaves found"
+    for mu in mus:
+        shard_rows = next(iter(mu.addressable_shards)).data.shape[0]
+        assert shard_rows == mu.shape[0] // 8, (shard_rows, mu.shape)
