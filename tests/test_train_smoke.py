@@ -38,14 +38,17 @@ def _run(model_name, n_sessions=1200, epochs=2, **model_overrides):
     return mrr, hit
 
 
-# floors calibrated from observed runs (srgnn 19%/5.6%, niser 28%/15%,
-# lessr 10%/3.9%, msgifsr 32%/23%) with ~2x headroom for seed noise;
-# random HR@20 on 3429 items would be 0.58%.
+# floors calibrated against the RESULTS.md sweep era (observed
+# short-budget values: srgnn 18.9%/6.0%, niser 26.9%/14.7%, lessr
+# 10.0%/4.1%, msgifsr 32.2%/23.3%), set at ~70-80% of observed so a
+# genuine quality regression fails while seed noise passes; random HR@20
+# on 3429 items would be 0.58%.
 @pytest.mark.parametrize("name,kw,n_sessions,epochs,hit_floor,mrr_floor", [
-    ("srgnn", {}, 10 ** 9, 3, 0.08, 0.02),
-    ("niser", {}, 10 ** 9, 3, 0.12, 0.06),
-    ("lessr", dict(num_layers=2), 3000, 2, 0.04, 0.015),
-    ("msgifsr", dict(order=2, extra=True, fusion=True), 3000, 2, 0.15, 0.10),
+    ("srgnn", {}, 10 ** 9, 3, 0.14, 0.04),
+    ("niser", {}, 10 ** 9, 3, 0.21, 0.11),
+    ("lessr", dict(num_layers=2), 3000, 2, 0.07, 0.028),
+    ("msgifsr", dict(order=2, extra=True, fusion=True), 3000, 2, 0.26,
+     0.18),
 ])
 def test_convergence_floor(name, kw, n_sessions, epochs, hit_floor,
                            mrr_floor):
