@@ -7,10 +7,18 @@ shape distribution (throughput does not depend on item identity).
 
 The reference publishes no numbers and cannot run here (single NVIDIA
 GPU + DGL stack; BASELINE.md), so ``vs_baseline`` is measured against
-the recorded baseline below (first self-measured round = 1.0; later
+the recorded baseline below (round-1 self-measured float32 = 1.0; later
 rounds show the speedup over round 1).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — value
+is the best (bfloat16) run; the same line carries both dtypes' numbers,
+the FLOPs/example model, and MFU (fraction of the chip's bf16 matmul
+peak).  FLOPs = XLA's compiled-graph count (cost_analysis) + the fused
+softmax-CE Pallas kernel's analytic count (XLA does not include
+custom-call flops): forward 2*B*D*P, backward 3*2*B*D*P per step.
+
+``--compare`` prints f32/bf16 alternating runs; ``--profile DIR``
+captures a jax.profiler trace of the bench loop.
 """
 
 from __future__ import annotations
@@ -58,7 +66,11 @@ def synthetic_batches(n_batches, rng):
     return out
 
 
-def run(compute_dtype="float32", quiet=False):
+# TPU v5e (v5 lite) dense matmul peak, bf16
+PEAK_FLOPS_BF16 = 197e12
+
+
+def run(compute_dtype="float32", quiet=False, profile_dir=None):
     import jax
     import jax.numpy as jnp
     from sessionrec_tpu.models import MSGIFSR
@@ -80,6 +92,23 @@ def run(compute_dtype="float32", quiet=False):
                                          UNROLL))
     key = jax.random.PRNGKey(1)
 
+    # FLOPs/example model: XLA compiled-graph flops (excludes the Pallas
+    # custom call) + the fused CE kernel's analytic flops (fwd 2BDP +
+    # bwd 6BDP per optimizer step)
+    flops_per_example = None
+    try:
+        rngs0 = jax.random.split(key, UNROLL)
+        ca = train_step.lower(params, state, opt_state, chunk,
+                              rngs0).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        from sessionrec_tpu.ops.scoring import pad_catalog
+        p_pad = pad_catalog(NUM_ITEMS)
+        pallas = 8.0 * EMBED_DIM * p_pad          # per example per step
+        flops_per_example = ca["flops"] / (UNROLL * BATCH) + pallas
+    except Exception:
+        pass
+
     def call(params, state, opt_state, key):
         key, sub = jax.random.split(key)
         rngs = jax.random.split(sub, UNROLL)
@@ -100,35 +129,58 @@ def run(compute_dtype="float32", quiet=False):
 
     # best-of-R windows: single-call dispatch noise (remote tunnel) is
     # large relative to the compiled chunk time
+    import contextlib
+    prof = jax.profiler.trace(profile_dir) if profile_dir \
+        else contextlib.nullcontext()
     best_dt = float("inf")
-    for _ in range(BENCH_REPS):
-        t0 = time.perf_counter()
-        for _ in range(BENCH_CALLS):
-            params, state, opt_state, key, loss = call(params, state,
-                                                       opt_state, key)
-        hard_sync(loss)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    with prof:
+        for _ in range(BENCH_REPS):
+            t0 = time.perf_counter()
+            for _ in range(BENCH_CALLS):
+                params, state, opt_state, key, loss = call(params, state,
+                                                           opt_state, key)
+            hard_sync(loss)
+            best_dt = min(best_dt, time.perf_counter() - t0)
 
     eps = BENCH_CALLS * UNROLL * BATCH / best_dt
+    mfu = (eps * flops_per_example / PEAK_FLOPS_BF16
+           if flops_per_example else None)
     if not quiet:
-        print(json.dumps({
-            "metric": "MSGIFSR train throughput (yoochoose-1/4 scale, 1 chip)",
-            "value": round(eps, 1),
-            "unit": "examples/sec/chip",
-            "vs_baseline": round(eps / BASELINE_EPS, 3),
-        }))
-    return eps
+        print(f"{compute_dtype}: {eps:,.0f} examples/s"
+              + (f", MFU {mfu * 100:.1f}%" if mfu else ""))
+    return eps, flops_per_example, mfu
 
 
-def main():
-    run()
+def main(profile_dir=None):
+    eps32, fpe, mfu32 = run("float32", quiet=True)
+    eps16, fpe16, mfu16 = run("bfloat16", quiet=True,
+                              profile_dir=profile_dir)
+    print(json.dumps({
+        "metric": "MSGIFSR train throughput (yoochoose-1/4 scale, 1 chip, "
+                  "bf16)",
+        "value": round(eps16, 1),
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(eps16 / BASELINE_EPS, 3),
+        "float32_eps": round(eps32, 1),
+        "bfloat16_eps": round(eps16, 1),
+        "flops_per_example": round(fpe16 or 0),
+        "mfu_f32_pct": round((mfu32 or 0) * 100, 2),
+        "mfu_bf16_pct": round((mfu16 or 0) * 100, 2),
+    }))
 
 
 if __name__ == "__main__":
     import sys
     if "--compare" in sys.argv:
         for dt in ("float32", "bfloat16", "float32", "bfloat16"):
-            eps = run(dt, quiet=True)
-            print(f"{dt}: {eps:,.0f} examples/s")
+            run(dt)
+    elif "--bf16" in sys.argv:
+        run("bfloat16")
+    elif "--f32" in sys.argv:
+        run("float32")
     else:
-        run("bfloat16" if "--bf16" in sys.argv else "float32")
+        prof = None
+        if "--profile" in sys.argv:
+            i = sys.argv.index("--profile")
+            prof = sys.argv[i + 1] if len(sys.argv) > i + 1 else "bench_trace"
+        main(profile_dir=prof)
