@@ -73,6 +73,8 @@ PEAK_FLOPS_BF16 = 197e12
 def run(compute_dtype="float32", quiet=False, profile_dir=None):
     import jax
     import jax.numpy as jnp
+    from sessionrec_tpu.train.session import _enable_compile_cache
+    _enable_compile_cache()   # bench recompiles are minutes via the tunnel
     from sessionrec_tpu.models import MSGIFSR
     from sessionrec_tpu.train.optim import make_optimizer
     from sessionrec_tpu.train.runner import (make_unrolled_train_step,

@@ -375,13 +375,14 @@ def _topk_metrics(mesh, log_probs, labels, valid, cutoff):
     return hit_c, mrr, jnp.sum(valid)
 
 
-def make_sharded_unrolled_eval_step(model, mesh, cutoff=20):
+def make_sharded_unrolled_eval_step(model, mesh, cutoff=20, project=True):
     """Mesh counterpart of runner.make_unrolled_eval_step: scan over a
     stacked chunk of eval batches, per-batch distributed top-k over the
     catalog shards, summed (hit, mrr, n)."""
 
     def eval_chunk(params, state, batches):
-        params = model.project_params(params)
+        if project:
+            params = model.project_params(params)
 
         def one(carry, batch):
             log_probs, _ = model.apply(params, state, batch, training=False,

@@ -184,13 +184,16 @@ def make_eval_step(model, cutoff=20):
     return jax.jit(eval_step)
 
 
-def make_unrolled_eval_step(model, cutoff=20):
+def make_unrolled_eval_step(model, cutoff=20, project=True):
     """Jitted scan over a stacked chunk of eval batches -> summed
     (hit_count, mrr_sum, num_valid).  Padded all-invalid batches
-    contribute zero."""
+    contribute zero.  ``project=False`` when the caller pre-projects the
+    params once per evaluation sweep (TrainRunner does) instead of
+    re-running the table renorm every chunk."""
 
     def eval_chunk(params, state, batches):
-        params = model.project_params(params)
+        if project:
+            params = model.project_params(params)
 
         def one(carry, batch):
             log_probs, _ = model.apply(params, state, batch, training=False,
@@ -287,11 +290,12 @@ class TrainRunner:
                                         replicated(mesh, self.state))
             # ZeRO layout: the table's Adam moments shard over both axes
             self.opt_state = init_opt_state(mesh, self.tx, self.params)
-            self.eval_step = make_sharded_unrolled_eval_step(model, mesh,
-                                                             cutoff)
+            self.eval_step = make_sharded_unrolled_eval_step(
+                model, mesh, cutoff, project=False)
         else:
             self.opt_state = self.tx.init(self.params)
-            self.eval_step = make_unrolled_eval_step(model, cutoff)
+            self.eval_step = make_unrolled_eval_step(model, cutoff,
+                                                     project=False)
         self.train_step = make_unrolled_train_step(model, self.tx,
                                                    self.unroll, fused=fused,
                                                    mesh=mesh)
@@ -319,7 +323,12 @@ class TrainRunner:
         return jax.device_put(stacked, chunk_sharding(self.mesh, stacked))
 
     def evaluate(self):
-        return evaluate(self.eval_step, self.params, self.state,
+        # project the table ONCE per evaluation sweep (the eval steps are
+        # built with project=False), not once per chunk
+        if not hasattr(self, "_project_jit"):
+            self._project_jit = jax.jit(self.model.project_params)
+        params = self._project_jit(self.params)
+        return evaluate(self.eval_step, params, self.state,
                         self.test_loader, unroll=self.unroll,
                         place=self._place)
 
