@@ -101,17 +101,27 @@ def _constrain_params(mesh, params):
 
 
 def make_train_step(model, tx, *, fused=True, mesh=None):
-    """Build the jitted train step: project -> fwd -> bwd -> Adam."""
+    """Build the jitted train step: fwd -> bwd -> Adam -> project.
+
+    Invariant: the step *expects* max-norm-projected params and *returns*
+    projected params.  Gradients are therefore always taken at a
+    projected table (torch's lookup-time ``max_norm`` semantics — see
+    models/lessr.py), but the projection runs at the END of the step,
+    adjacent to ``apply_updates``, where XLA fuses the row-renorm into
+    the optimizer's table pass — one HBM read+write of the full table
+    per step instead of two.  ``TrainRunner`` projects once at init to
+    establish the invariant (fresh U(-1/sqrt d) inits are already inside
+    the norm ball, so that projection is the identity).
+    """
 
     def train_step(params, state, opt_state, batch, rng):
-        params = model.project_params(params)   # torch max_norm semantics
         loss_fn = make_loss_fn(model, state, batch, rng, fused=fused,
                                mesh=mesh)
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = _constrain_params(mesh,
-                                   optax.apply_updates(params, updates))
+        params = optax.apply_updates(params, updates)
+        params = _constrain_params(mesh, model.project_params(params))
         return params, new_state, opt_state, loss
 
     return jax.jit(train_step, donate_argnums=(0, 1, 2))
@@ -140,15 +150,16 @@ def make_unrolled_train_step(model, tx, unroll: int, *, fused=True,
         batch, rng = xs
 
         def do(operand):
+            # same projected-params invariant as make_train_step: grads at
+            # the projected table, renorm fused into the update pass
             params, state, opt_state = operand
-            params = model.project_params(params)
             loss_fn = make_loss_fn(model, state, batch, rng, fused=fused,
                                    mesh=mesh)
             (loss, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
-            params = _constrain_params(mesh,
-                                       optax.apply_updates(params, updates))
+            params = optax.apply_updates(params, updates)
+            params = _constrain_params(mesh, model.project_params(params))
             return (params, new_state, opt_state), loss
 
         def skip(operand):
@@ -277,6 +288,10 @@ class TrainRunner:
         key = jax.random.PRNGKey(seed)
         self.init_key, self.step_key = jax.random.split(key)
         self.params, self.state = model.init(self.init_key)
+        # establish the train-step invariant (params enter every step
+        # already max-norm-projected); identity for fresh inits
+        self._project_jit = jax.jit(model.project_params)
+        self.params = self._project_jit(self.params)
         self.tx = make_optimizer(self.params, lr, weight_decay,
                                  steps_per_epoch=len(train_loader),
                                  lr_step_size=lr_step_size, lr_gamma=lr_gamma)
@@ -323,10 +338,10 @@ class TrainRunner:
         return jax.device_put(stacked, chunk_sharding(self.mesh, stacked))
 
     def evaluate(self):
-        # project the table ONCE per evaluation sweep (the eval steps are
-        # built with project=False), not once per chunk
-        if not hasattr(self, "_project_jit"):
-            self._project_jit = jax.jit(self.model.project_params)
+        # params are kept projected by the train-step invariant; this
+        # once-per-sweep projection only covers externally loaded params
+        # (e.g. checkpoints written by older builds) — the eval steps are
+        # built with project=False
         params = self._project_jit(self.params)
         return evaluate(self.eval_step, params, self.state,
                         self.test_loader, unroll=self.unroll,

@@ -96,6 +96,44 @@ def test_padded_chunk_steps_are_skipped():
     assert 3 in counts, counts
 
 
+def test_max_norm_projection_invariant():
+    """The train step returns max-norm-projected params (the projection
+    now runs fused into the update pass, not at step entry): after steps
+    with real gradients every embedding row of a max-norm model stays
+    inside the unit ball, so the next step's gradients are taken at the
+    projected table — torch's lookup-time ``max_norm=1`` semantics
+    (reference: lessr.py:126)."""
+    from sessionrec_tpu.graph.batch import LessrBatch
+    from sessionrec_tpu.models import LESSR
+
+    model = LESSR(num_items=NUM_ITEMS, embedding_dim=16, num_layers=2,
+                  feat_drop=0.0)
+    params, state = model.init(jax.random.PRNGKey(0))
+    # blow the table out of the ball; the runner-side init projection
+    # (TrainRunner.__init__) is what re-establishes the invariant
+    params["embedding"] = params["embedding"] * 10.0
+    params = jax.jit(model.project_params)(params)
+    norms0 = jnp.linalg.norm(params["embedding"], axis=-1)
+    assert float(jnp.max(norms0)) <= 1.0 + 1e-5
+
+    tx = make_optimizer(params, lr=5e-2, weight_decay=1e-4,
+                        steps_per_epoch=10)
+    step = make_train_step(model, tx)
+    opt_state = tx.init(params)
+    rng = np.random.default_rng(7)
+    seqs = [list(rng.integers(0, NUM_ITEMS,
+                              size=rng.integers(2, MAX_LEN + 1)))
+            for _ in range(B)]
+    labels = list(rng.integers(0, NUM_ITEMS, size=B))
+    batch = LessrBatch(**builders.build_lessr_batch(seqs, labels, MAX_LEN, B))
+    for i in range(3):
+        params, state, opt_state, loss = step(
+            params, state, opt_state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(loss))
+        norms = jnp.linalg.norm(params["embedding"], axis=-1)
+        assert float(jnp.max(norms)) <= 1.0 + 1e-5
+
+
 def test_unrolled_eval_matches_per_batch():
     batches = _batches(5, seed=4)
     model, params, state, _ = _fresh()
