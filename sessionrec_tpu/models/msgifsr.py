@@ -54,6 +54,13 @@ class MSGIFSR:
     extra: bool = False
     fusion: bool = False
     compute_dtype: str = "float32"
+    # Fused intra-GAT Pallas kernel (ops/gat_fused.py).  None currently
+    # resolves to False: the kernel is numerically verified (value+grad
+    # parity vs the dense path, tests/test_gat_fused.py) but its TPU
+    # throughput is not yet proven faster than the dense XLA path, so it
+    # stays opt-in.  Under a multi-device mesh the runner forces False
+    # either way (a pallas_call cannot be GSPMD-partitioned).
+    fused_gat: bool | None = None
 
     graph_kind = "ccs"
     has_max_norm = True
@@ -66,7 +73,8 @@ class MSGIFSR:
                    num_layers=cfg.num_layers, feat_drop=cfg.feat_drop,
                    reducer=cfg.reducer, order=cfg.order, norm=cfg.norm,
                    extra=cfg.extra, fusion=cfg.fusion,
-                   compute_dtype=cfg.compute_dtype)
+                   compute_dtype=cfg.compute_dtype,
+                   fused_gat=getattr(cfg, "fused_gat", None))
 
     @property
     def padded_items(self):
@@ -182,10 +190,12 @@ class MSGIFSR:
                                                    "readout", "fc_sr",
                                                    "sc_sr")}, cdt)
         feats = self._embed_levels(params, cp, batch, rng, training)
+        fused = bool(self.fused_gat) and self.order == 1
         h = feats
         for lp in cp["layers"]:
             h = L.mshgnn_apply(lp, h, batch, rng, feat_drop=self.feat_drop,
-                               training=training, num_heads=self.num_heads)
+                               training=training, num_heads=self.num_heads,
+                               fused=fused)
         if self.norm:
             h = [L.l2norm(x) for x in h]
         sr_g = self._readout(cp, batch, h)

@@ -1,0 +1,485 @@
+"""Fused MSHGNN intra-level GAT pair: one Pallas kernel for both
+direction convs + residual + bias + head-max.
+
+Reference semantics (src/models/msgifsr.py:58-89 + the vendored DGL
+GATConv, gatconv.py:254-319): per level, MSHGNN runs an 8-head additive-
+attention conv over the intra adjacency (conv1) and over the reversed
+graph (conv2), sums the per-destination results, and takes the max over
+heads.  The dense JAX path (models/layers.py:gat_apply) materialises a
+``[B, N, H, F]`` tensor per conv (~21 MB at the bench config) plus a
+soup of ``[B, N, N, H]`` attention intermediates whose XLA layouts force
+~0.5 ms/step of pure copies (measured; see BENCH_NOTES.md).
+
+This kernel instead processes ``Bb`` sessions per grid step, flattened
+to ``R = Bb*N`` rows, with the batch adjacency **block-diagonalised** to
+``[R, R]`` outside the kernel: every step of the attention chain is then
+a dense, full-width tile op —
+
+    fs    = hd @ W^T                     [R, H*F]   (one MXU matmul)
+    zT_h  = leaky(er_h ⊕ el_h)           [R, R]     (outer broadcast,
+                                                     [dst, src] layout)
+    aT_h  = masked softmax over lanes    [R, R]     (mask = blockdiag adj,
+                                                     so cross-session
+                                                     pairs get 0 weight)
+    rst_h = aT_h @ fs_h                  [R, F]     (dense MXU matmul)
+
+— and the ``[B, N, H, F]`` per-conv tensors never reach HBM.  Backward
+recomputes the forward flash-style (residuals = inputs only) and
+accumulates weight gradients across grid steps in the output block.
+
+Mosaic performance rules baked in here (learned by measuring: a first
+version using ``A^T B`` dot forms and per-head transposes ran 9x slower
+than the dense path):
+
+* only ``A @ B`` / ``A @ B^T`` dot_general forms — never contract dim 0
+  of both operands (Mosaic lowers that via physical transposes);
+* both adjacency orientations are passed in from XLA so the kernel never
+  transposes an ``[R, R]`` tile;
+* the attention matrix is *built* in the orientation each pass consumes:
+  forward in ``[dst, src]`` (softmax reduces over lanes; the aggregation
+  is then a plain AB matmul), backward in ``[src, dst]``;
+* per-conv transposes are limited to one ``[R, H] -> [H, R]`` (8
+  sublanes) for the broadcast row of the attention logits.
+
+Dropout matches the framework's counter-hash scheme (ops/dropout.py):
+feature dropout is **bit-identical** to the unfused path (same murmur3
+hash of (seed, global flat index)); attention dropout uses the same hash
+construction over (src, dst) edge indices (the unfused path draws
+bernoulli masks there because H < 32 lanes, so masks differ draw-by-draw
+but match in distribution and rate).  The wrapper consumes
+``rng.next()`` in the same order as the unfused path, keeping every
+downstream dropout aligned.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sessionrec_tpu.ops.masked import NEG_INF
+
+_GOLDEN = 0x9E3779B9
+_HEAD_MIX = 0x27D4EB2F
+
+
+def _hash_keep(seed, idx, rate: float):
+    """murmur3-finalizer keep mask of uint32 flat indices (ops/dropout.py)."""
+    h = idx ^ (seed.astype(jnp.uint32) * jnp.uint32(_GOLDEN))
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    keep = 1.0 - rate
+    thr = jnp.uint32(min(int(keep * 4294967296.0), 4294967295))
+    return h < thr
+
+
+def _feat_drop(x, seed, rate: float, row_offset):
+    """Bit-identical to ops/dropout.py on the ``[B*N, D]`` feature view."""
+    if rate == 0.0:
+        return x
+    R, C = x.shape
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (R, C), 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, (R, C), 1)
+    idx = (rows + jnp.uint32(row_offset)) * jnp.uint32(C) + cols
+    keep = _hash_keep(seed, idx, rate)
+    scale = jnp.asarray(1.0 / (1.0 - rate), jnp.float32)
+    return jnp.where(keep, x * scale.astype(x.dtype), jnp.zeros_like(x))
+
+
+def _attn_drop(a, seed, rate: float, row_offset, total_rows: int, head: int,
+               dst_major: bool):
+    """Hash dropout over an [R, R] attention tile.  The element index is
+    the global (src, dst) node pair — identical regardless of whether the
+    tile is laid out [src, dst] (``dst_major=False``, backward) or
+    [dst, src] (``dst_major=True``, forward), so forward and backward
+    regenerate the same mask.  ``head`` folds into the seed."""
+    if rate == 0.0:
+        return a
+    R = a.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (R, R), 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, (R, R), 1)
+    off = jnp.uint32(row_offset)
+    src, dst = (cols, rows) if dst_major else (rows, cols)
+    idx = (src + off) * jnp.uint32(total_rows) + (dst + off)
+    mixed = seed.astype(jnp.uint32) \
+        + jnp.uint32((head * _HEAD_MIX) & 0xFFFFFFFF)
+    keep = _hash_keep(mixed, idx, rate)
+    scale = jnp.asarray(1.0 / (1.0 - rate), jnp.float32)
+    return jnp.where(keep, a * scale.astype(a.dtype), jnp.zeros_like(a))
+
+
+def _masked_softmax(z, mask_bool, axis: int):
+    """ops/masked.py:masked_softmax replicated op-for-op (f32
+    exp-normalise, finite NEG_INF, safe denom)."""
+    e = jnp.where(mask_bool, z.astype(jnp.float32), NEG_INF)
+    m = jnp.max(e, axis=axis, keepdims=True)
+    m = jnp.maximum(m, NEG_INF * 0.5)
+    ex = jnp.where(mask_bool, jnp.exp(e - m), 0.0)
+    s = jnp.sum(ex, axis=axis, keepdims=True)
+    return ex / jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
+
+
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _leaky(z):
+    return jnp.where(z >= 0, z, z * 0.2)
+
+
+def _proj_logits(hd, w_ref, al_ref, ar_ref, cdt, R, H, F):
+    """fs = hd @ W^T and the per-head attention logits el/er [R, H]."""
+    fs = _dot(hd, w_ref[:], ((1,), (1,))).astype(cdt)       # [R, H*F]
+    fs4 = fs.reshape(R, H, F)
+    el = jnp.sum(fs4 * al_ref[:][None], axis=-1)            # [R, H] cdt
+    er = jnp.sum(fs4 * ar_ref[:][None], axis=-1)
+    return fs, el, er
+
+
+def _fwd_kernel(h_ref, adj_ref, adjT_ref, seeds_ref,
+                w1_ref, al1_ref, ar1_ref, b1_ref,
+                w2_ref, al2_ref, ar2_ref, b2_ref,
+                out_ref, acc_ref, *, N, H, F, feat_drop, attn_drop,
+                total_rows):
+    Bb = h_ref.shape[0]
+    D = h_ref.shape[2]
+    R = Bb * N
+    cdt = h_ref.dtype
+    i = pl.program_id(0)
+    row_off = i * R
+
+    hflat = h_ref[:].reshape(R, D)
+    # attention runs in [dst, src] orientation: conv1's mask is then the
+    # TRANSPOSED adjacency, conv2's (reversed graph) the adjacency itself
+    mt1 = adjT_ref[0] != 0
+    mt2 = adj_ref[0] != 0
+
+    convs = ((mt1, w1_ref, al1_ref, ar1_ref, b1_ref, 0, 1),
+             (mt2, w2_ref, al2_ref, ar2_ref, b2_ref, 2, 3))
+    for ci, (maskT, w_ref, al_ref, ar_ref, b_ref, fs_i, as_i) in \
+            enumerate(convs):
+        hd = _feat_drop(hflat, seeds_ref[fs_i], feat_drop, row_off)
+        fs, el, er = _proj_logits(hd, w_ref, al_ref, ar_ref, cdt, R, H, F)
+        elT = jnp.transpose(el)                             # [H, R]
+        for h in range(H):
+            fs_h = fs[:, h * F:(h + 1) * F]
+            er_col = er[:, h:h + 1].astype(jnp.float32)     # [R, 1] (dst)
+            el_row = elT[h:h + 1, :].astype(jnp.float32)    # [1, R] (src)
+            zT = _leaky(er_col + el_row)                    # [dst, src] f32
+            aT = _masked_softmax(zT, maskT, axis=1).astype(cdt)
+            aT = _attn_drop(aT, seeds_ref[as_i], attn_drop, row_off,
+                            total_rows, h, dst_major=True)
+            rst = _dot(aT, fs_h, ((1,), (0,))).astype(cdt)  # [R, F]
+            val = rst + hd + b_ref[:, h * F:(h + 1) * F].astype(cdt)
+            sl = (slice(None), slice(h * F, (h + 1) * F))
+            if ci == 0:
+                acc_ref[sl] = val
+            else:
+                acc_ref[sl] += val
+
+    acc = acc_ref[:].reshape(R, H, F)
+    out_ref[:] = jnp.max(acc, axis=1).reshape(Bb, N, F)
+
+
+def _bwd_kernel(h_ref, adj_ref, adjT_ref, seeds_ref,
+                w1_ref, al1_ref, ar1_ref, b1_ref,
+                w2_ref, al2_ref, ar2_ref, b2_ref, g_ref,
+                dh_ref, dw1_ref, dal1_ref, dar1_ref, db1_ref,
+                dw2_ref, dal2_ref, dar2_ref, db2_ref,
+                acc_ref, dfs_ref, *, N, H, F, feat_drop, attn_drop,
+                total_rows):
+    Bb = h_ref.shape[0]
+    D = h_ref.shape[2]
+    R = Bb * N
+    cdt = h_ref.dtype
+    i = pl.program_id(0)
+    row_off = i * R
+    hflat = h_ref[:].reshape(R, D)
+    g = g_ref[:].reshape(R, F).astype(jnp.float32)
+
+    @pl.when(i == 0)
+    def _init():
+        for ref in (dw1_ref, dal1_ref, dar1_ref, db1_ref,
+                    dw2_ref, dal2_ref, dar2_ref, db2_ref):
+            ref[:] = jnp.zeros(ref.shape, ref.dtype)
+
+    # backward works in [src, dst] orientation: conv1 masks with the
+    # adjacency, conv2 with its transpose
+    m1 = adj_ref[0] != 0
+    m2 = adjT_ref[0] != 0
+    convs = ((m1, w1_ref, al1_ref, ar1_ref, b1_ref, 0, 1),
+             (m2, w2_ref, al2_ref, ar2_ref, b2_ref, 2, 3))
+
+    # ---- pass 1: recompute acc (per-head pre-max values) -------------------
+    # identical to the forward kernel: [dst, src] orientation, so conv1
+    # masks with the TRANSPOSED adjacency here and rst is a plain AB dot
+    mt = (adjT_ref[0] != 0, adj_ref[0] != 0)
+    per_conv = []
+    for ci, (mask, w_ref, al_ref, ar_ref, b_ref, fs_i, as_i) in \
+            enumerate(convs):
+        hd = _feat_drop(hflat, seeds_ref[fs_i], feat_drop, row_off)
+        fs, el, er = _proj_logits(hd, w_ref, al_ref, ar_ref, cdt, R, H, F)
+        elT = jnp.transpose(el)                             # [H, R]
+        erT = jnp.transpose(er)                             # [H, R]
+        per_conv.append((mask, hd, fs, el, erT))
+        for h in range(H):
+            fs_h = fs[:, h * F:(h + 1) * F]
+            er_col = er[:, h:h + 1].astype(jnp.float32)     # [R, 1] (dst)
+            el_row = elT[h:h + 1, :].astype(jnp.float32)    # [1, R] (src)
+            zT = _leaky(er_col + el_row)                    # [dst, src]
+            aT = _masked_softmax(zT, mt[ci], axis=1).astype(cdt)
+            aT = _attn_drop(aT, seeds_ref[as_i], attn_drop, row_off,
+                            total_rows, h, dst_major=True)
+            rst = _dot(aT, fs_h, ((1,), (0,))).astype(cdt)
+            val = rst + hd + b_ref[:, h * F:(h + 1) * F].astype(cdt)
+            sl = (slice(None), slice(h * F, (h + 1) * F))
+            if ci == 0:
+                acc_ref[sl] = val
+            else:
+                acc_ref[sl] += val
+
+    # head-max backward: split g evenly across argmax ties (jnp.max VJP).
+    # mx/cnt live in [R, F] f32 (bf16->f32 is exact, so tie detection
+    # matches the cdt max); per-head cotangents regenerate on the fly.
+    mx = acc_ref[:, 0:F].astype(jnp.float32)
+    for h in range(1, H):
+        mx = jnp.maximum(mx, acc_ref[:, h * F:(h + 1) * F]
+                         .astype(jnp.float32))
+    cnt = jnp.zeros((R, F), jnp.float32)
+    for h in range(H):
+        eq = acc_ref[:, h * F:(h + 1) * F].astype(jnp.float32) == mx
+        cnt = cnt + eq.astype(jnp.float32)
+    gsplit = g / cnt                                        # [R, F] f32
+
+    def dacc_head(h):
+        sel = acc_ref[:, h * F:(h + 1) * F].astype(jnp.float32) == mx
+        return jnp.where(sel, gsplit, 0.0)                  # f32
+
+    # ---- pass 2: per-conv gradient chains ----------------------------------
+    dh = jnp.zeros((R, D), jnp.float32)
+    wgrad_refs = ((dw1_ref, dal1_ref, dar1_ref, db1_ref),
+                  (dw2_ref, dal2_ref, dar2_ref, db2_ref))
+    for ci, (mask, w_ref, al_ref, ar_ref, b_ref, fs_i, as_i) in \
+            enumerate(convs):
+        _, hd, fs, el, erT = per_conv[ci]
+        dw_ref, dal_ref, dar_ref, db_ref = wgrad_refs[ci]
+        dhd = jnp.zeros((R, D), jnp.float32)
+        der_rows = []
+        for h in range(H):
+            fs_h = fs[:, h * F:(h + 1) * F]
+            dacc_h = dacc_head(h)                           # f32
+            db_ref[:, h * F:(h + 1) * F] += jnp.sum(dacc_h, axis=0,
+                                                    keepdims=True)
+            dhd = dhd + dacc_h                              # residual path
+            # recompute this head's attention ([src, dst], f32)
+            el_col = el[:, h:h + 1].astype(jnp.float32)
+            er_row = erT[h:h + 1, :].astype(jnp.float32)
+            zraw = el_col + er_row
+            a0 = _masked_softmax(_leaky(zraw), mask, axis=0)
+            a = _attn_drop(a0.astype(cdt), seeds_ref[as_i], attn_drop,
+                           row_off, total_rows, h, dst_major=False)
+            dacc_c = dacc_h.astype(cdt)
+            da = _dot(fs_h, dacc_c, ((1,), (1,)))           # [src, dst] f32
+            dfs_h = _dot(a, dacc_c, ((1,), (0,)))           # [R, F] f32
+            # attention-dropout backward: same mask regenerated
+            da = _attn_drop(da, seeds_ref[as_i], attn_drop, row_off,
+                            total_rows, h, dst_major=False)
+            # softmax backward (per destination column, rows = sources)
+            t = jnp.sum(a0 * da, axis=0, keepdims=True)
+            dz = a0 * (da - t)
+            dz = jnp.where(zraw >= 0, dz, dz * 0.2)
+            del_col = jnp.sum(dz, axis=1, keepdims=True)    # [R, 1] (src)
+            der_rows.append(jnp.sum(dz, axis=0, keepdims=True))  # [1, R]
+            fs_f32 = fs_h.astype(jnp.float32)
+            dfs_h = dfs_h + del_col * al_ref[h:h + 1, :].astype(jnp.float32)
+            dal_ref[h:h + 1, :] += jnp.sum(del_col * fs_f32, axis=0,
+                                           keepdims=True)
+            dfs_ref[:, h * F:(h + 1) * F] = dfs_h.astype(cdt)
+        # dst-side attention-logit grads: one [H, R] -> [R, H] transpose
+        # per conv instead of one [1, R] -> [R, 1] per head
+        derT = jnp.transpose(jnp.concatenate(der_rows, axis=0))  # [R, H]
+        for h in range(H):
+            der_col = derT[:, h:h + 1]                      # [R, 1] f32
+            fs_f32 = fs[:, h * F:(h + 1) * F].astype(jnp.float32)
+            dar_ref[h:h + 1, :] += jnp.sum(der_col * fs_f32, axis=0,
+                                           keepdims=True)
+            dfs_ref[:, h * F:(h + 1) * F] += \
+                (der_col * ar_ref[h:h + 1, :].astype(jnp.float32)
+                 ).astype(cdt)
+        dfs = dfs_ref[:]
+        dw_ref[:] += _dot(dfs, hd, ((0,), (0,)))            # [H*F, D] f32
+        dhd = dhd + _dot(dfs, w_ref[:], ((1,), (0,)))       # [R, D] f32
+        # feature-dropout backward (bit-identical mask regeneration)
+        dh = dh + _feat_drop(dhd, seeds_ref[fs_i], feat_drop, row_off)
+    dh_ref[:] = dh.astype(cdt).reshape(Bb, N, D)
+
+
+def block_diag_adj(adj, block: int):
+    """[B, N, N] -> [B/block, block*N, block*N] block-diagonal batches.
+
+    Built in XLA before the kernel call (one broadcast-multiply with a
+    block-identity; XLA fuses it into the materialisation of the
+    kernel operand)."""
+    B, N, _ = adj.shape
+    nb = B // block
+    a4 = adj.reshape(nb, block, N, N)
+    eye = jnp.eye(block, dtype=adj.dtype)
+    big = a4[:, :, :, None, :] * eye[None, :, None, :, None]
+    return big.reshape(nb, block * N, block * N)
+
+
+def _pick_block(B: int, N: int, dtype) -> int:
+    """Sessions per grid step: keep R = Bb*N around 320 rows (VMEM-safe
+    for fwd AND bwd working sets at F=256, H=8) and divide B."""
+    target = 320
+    bb = max(1, target // N)
+    while bb > 1 and B % bb:
+        bb -= 1
+    return bb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused(cfg, h, adj_big, adjT_big, seeds,
+           w1, al1, ar1, b1, w2, al2, ar2, b2):
+    out, _ = _fused_fwd(cfg, h, adj_big, adjT_big, seeds, w1, al1, ar1, b1,
+                        w2, al2, ar2, b2)
+    return out
+
+
+def _common_in_specs(Bb, N, R, D):
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return [
+        pl.BlockSpec((Bb, N, D), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),              # h
+        pl.BlockSpec((1, R, R), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),              # adj_big
+        pl.BlockSpec((1, R, R), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),              # adjT_big
+        pl.BlockSpec(memory_space=pltpu.SMEM),              # seeds
+        full, full, full, full,                             # conv1 params
+        full, full, full, full,                             # conv2 params
+    ]
+
+
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _fused_fwd(cfg, h, adj_big, adjT_big, seeds,
+               w1, al1, ar1, b1, w2, al2, ar2, b2):
+    N, H, F, feat_drop, attn_drop, interpret = cfg
+    B, _, D = h.shape
+    Bb = adj_big.shape[1] // N
+    R = Bb * N
+    nb = B // Bb
+    kern = functools.partial(_fwd_kernel, N=N, H=H, F=F,
+                             feat_drop=feat_drop, attn_drop=attn_drop,
+                             total_rows=B * N)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=_common_in_specs(Bb, N, R, D),
+        out_specs=pl.BlockSpec((Bb, N, F), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, F), h.dtype),
+        scratch_shapes=[pltpu.VMEM((R, H * F), h.dtype)],
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )(h, adj_big, adjT_big, seeds, w1, al1, ar1, b1, w2, al2, ar2, b2)
+    return out, (h, adj_big, adjT_big, seeds, w1, al1, ar1, b1,
+                 w2, al2, ar2, b2)
+
+
+def _fused_bwd(cfg, res, g):
+    N, H, F, feat_drop, attn_drop, interpret = cfg
+    h, adj_big, adjT_big, seeds, w1, al1, ar1, b1, w2, al2, ar2, b2 = res
+    B, _, D = h.shape
+    Bb = adj_big.shape[1] // N
+    R = Bb * N
+    nb = B // Bb
+    kern = functools.partial(_bwd_kernel, N=N, H=H, F=F,
+                             feat_drop=feat_drop, attn_drop=attn_drop,
+                             total_rows=B * N)
+    fixed = pl.BlockSpec(memory_space=pltpu.VMEM)
+    wg = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=_common_in_specs(Bb, N, R, D) + [
+            pl.BlockSpec((Bb, N, F), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)],         # g
+        out_specs=[
+            pl.BlockSpec((Bb, N, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # dh
+            fixed, fixed, fixed, fixed,                     # conv1 grads
+            fixed, fixed, fixed, fixed,                     # conv2 grads
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, D), h.dtype),
+            wg(w1.shape), wg(al1.shape), wg(ar1.shape), wg((1, H * F)),
+            wg(w2.shape), wg(al2.shape), wg(ar2.shape), wg((1, H * F)),
+        ],
+        scratch_shapes=[pltpu.VMEM((R, H * F), h.dtype),    # acc
+                        pltpu.VMEM((R, H * F), h.dtype)],   # dfs
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )(h, adj_big, adjT_big, seeds, w1, al1, ar1, b1, w2, al2, ar2, b2, g)
+    dh, dw1, dal1, dar1, db1, dw2, dal2, dar2, db2 = outs
+    cast = lambda x, ref: x.astype(ref.dtype)
+    return (dh, jnp.zeros_like(adj_big), jnp.zeros_like(adjT_big),
+            jnp.zeros_like(seeds),
+            cast(dw1, w1), cast(dal1, al1), cast(dar1, ar1),
+            cast(db1.reshape(b1.shape), b1),
+            cast(dw2, w2), cast(dal2, al2), cast(dar2, ar2),
+            cast(db2.reshape(b2.shape), b2))
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_intra_gat(p1, p2, feat, adj, rng, *, num_heads: int,
+                    feat_drop: float, attn_drop: float, training: bool,
+                    interpret: bool | None = None):
+    """Fused equivalent of
+
+        acc = gat_apply(p1, f, f, adj, rng, ...) \
+            + gat_apply(p2, f, f, adj^T, rng, ...)
+        out = max(acc, axis=heads)
+
+    (models/layers.py:mshgnn_apply intra part).  ``rng`` is consumed
+    exactly as the unfused path would (4 draws: conv1 feat, conv1 attn,
+    conv2 feat, conv2 attn; zero-rate sites draw nothing)."""
+    B, N, D = feat.shape
+    H = num_heads
+    F = p1["attn_l"].shape[-1]
+    if not training or rng is None:
+        feat_drop = attn_drop = 0.0
+    seeds = []
+    for rate in (feat_drop, attn_drop, feat_drop, attn_drop):
+        if rate == 0.0:
+            seeds.append(jnp.zeros((), jnp.int32))
+        else:
+            key = rng.next()
+            seeds.append(
+                jax.random.key_data(key).ravel()[-1].astype(jnp.int32))
+    seeds = jnp.stack(seeds)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Bb = _pick_block(B, N, feat.dtype)
+    # adjacency stays f32 (Mosaic has no bf16 comparisons); both
+    # orientations are prepared in XLA so the kernel never transposes
+    adj32 = adj.astype(jnp.float32)
+    adj_big = block_diag_adj(adj32, Bb)
+    adjT_big = block_diag_adj(jnp.swapaxes(adj32, 1, 2), Bb)
+    cfg = (N, H, F, float(feat_drop), float(attn_drop), bool(interpret))
+    b1 = p1["bias"].reshape(1, H * F)
+    b2 = p2["bias"].reshape(1, H * F)
+    return _fused(cfg, feat, adj_big, adjT_big, seeds,
+                  p1["fc"], p1["attn_l"], p1["attn_r"], b1,
+                  p2["fc"], p2["attn_l"], p2["attn_r"], b2)

@@ -11,6 +11,7 @@ training, train.py:91).  Checkpoint/resume is new, flag-gated.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import time
 
@@ -86,6 +87,15 @@ def make_loss_fn(model, state, batch, rng, *, fused=True, mesh=None):
     return loss_fn
 
 
+def _mesh_safe_model(model, mesh):
+    """Under a mesh, force models onto their GSPMD-partitionable path: a
+    pallas_call (the fused intra-GAT kernel) cannot be partitioned by
+    GSPMD, so an unresolved (auto) ``fused_gat`` becomes False."""
+    if mesh is not None and getattr(model, "fused_gat", False) is None:
+        return dataclasses.replace(model, fused_gat=False)
+    return model
+
+
 def _constrain_params(mesh, params):
     """Pin updated params to their canonical sharding (embedding row-
     sharded over model, replicated over data).  With the ZeRO table
@@ -113,6 +123,7 @@ def make_train_step(model, tx, *, fused=True, mesh=None):
     establish the invariant (fresh U(-1/sqrt d) inits are already inside
     the norm ball, so that projection is the identity).
     """
+    model = _mesh_safe_model(model, mesh)
 
     def train_step(params, state, opt_state, batch, rng):
         loss_fn = make_loss_fn(model, state, batch, rng, fused=fused,
@@ -144,6 +155,7 @@ def make_unrolled_train_step(model, tx, unroll: int, *, fused=True,
     those steps are skipped entirely under ``lax.cond`` so weight decay
     and the LR schedule's step count see exactly the real batches.
     """
+    model = _mesh_safe_model(model, mesh)
 
     def one_step(carry, xs):
         params, state, opt_state = carry
