@@ -336,10 +336,19 @@ def block_diag_adj(adj, block: int):
 
 
 def _pick_block(B: int, N: int, dtype) -> int:
-    """Sessions per grid step: keep R = Bb*N around 320 rows (VMEM-safe
-    for fwd AND bwd working sets at F=256, H=8) and divide B."""
-    target = 320
-    bb = max(1, target // N)
+    """Sessions per grid step.
+
+    Prefer the largest Bb <= 640/N rows with R = Bb*N a multiple of 128
+    (lane-aligned [R, R] tiles compile and run much better than padded
+    ones) that divides B; fall back to R ~ 320 otherwise."""
+    best = 0
+    for bb in range(min(B, max(640 // N, 1)), 0, -1):
+        if B % bb == 0 and (bb * N) % 128 == 0:
+            best = bb
+            break
+    if best:
+        return best
+    bb = max(1, 320 // N)
     while bb > 1 and B % bb:
         bb -= 1
     return bb
