@@ -15,7 +15,7 @@ to ``R = Bb*N`` rows, with the batch adjacency **block-diagonalised** to
 ``[R, R]`` outside the kernel: every step of the attention chain is then
 a dense, full-width tile op —
 
-    fs    = hd @ W^T                     [R, H*F]   (one MXU matmul)
+    fs_h  = hd @ W_h^T                   [R, F]     (one MXU matmul)
     zT_h  = leaky(er_h ⊕ el_h)           [R, R]     (outer broadcast,
                                                      [dst, src] layout)
     aT_h  = masked softmax over lanes    [R, R]     (mask = blockdiag adj,
@@ -23,30 +23,34 @@ a dense, full-width tile op —
                                                      pairs get 0 weight)
     rst_h = aT_h @ fs_h                  [R, F]     (dense MXU matmul)
 
-— and the ``[B, N, H, F]`` per-conv tensors never reach HBM.  Backward
-recomputes the forward flash-style (residuals = inputs only) and
-accumulates weight gradients across grid steps in the output block.
+Grid layout is ``(batch blocks, heads)`` — one head of both convs per
+grid step.  This keeps the compiled kernel body ~8x smaller than a
+fully head-unrolled version (whose Mosaic compile took minutes) and
+lets the per-head weight/attention parameters stream in as ``(F, D)`` /
+``(1, F)`` blocks.  The per-head pre-max activations ``acc`` are
+exported as a forward output and consumed by the backward as the
+head-max residual, so the backward runs a single pass.
 
-Mosaic performance rules baked in here (learned by measuring: a first
-version using ``A^T B`` dot forms and per-head transposes ran 9x slower
-than the dense path):
+Mosaic performance rules baked in (learned by measuring — a first
+version using ``A^T B`` dot forms and per-head ``[R, R]`` transposes
+ran 9x slower than the dense XLA path):
 
-* only ``A @ B`` / ``A @ B^T`` dot_general forms — never contract dim 0
-  of both operands (Mosaic lowers that via physical transposes);
-* both adjacency orientations are passed in from XLA so the kernel never
-  transposes an ``[R, R]`` tile;
-* the attention matrix is *built* in the orientation each pass consumes:
-  forward in ``[dst, src]`` (softmax reduces over lanes; the aggregation
-  is then a plain AB matmul), backward in ``[src, dst]``;
-* per-conv transposes are limited to one ``[R, H] -> [H, R]`` (8
-  sublanes) for the broadcast row of the attention logits.
+* dot_general forms are ``A @ B`` / ``A @ B^T`` everywhere except the
+  inherently-transposed weight-grad (``dfs^T @ hd``, the flash-attention
+  dV form);
+* both adjacency orientations are passed in from XLA so the kernel
+  never transposes an ``[R, R]`` tile;
+* the attention matrix is *built* in the orientation each pass
+  consumes: forward in ``[dst, src]`` (softmax reduces over lanes; the
+  aggregation is then a plain AB matmul), backward in ``[src, dst]``;
+* in-kernel transposes are limited to ``[R, 1] -> [1, R]`` vectors.
 
 Dropout matches the framework's counter-hash scheme (ops/dropout.py):
 feature dropout is **bit-identical** to the unfused path (same murmur3
-hash of (seed, global flat index)); attention dropout uses the same hash
-construction over (src, dst) edge indices (the unfused path draws
-bernoulli masks there because H < 32 lanes, so masks differ draw-by-draw
-but match in distribution and rate).  The wrapper consumes
+hash of (seed, global flat index)); attention dropout uses the same
+hash construction over (src, dst) edge indices (the unfused path draws
+bernoulli masks there because H < 32 lanes, so masks differ draw-by-
+draw but match in distribution and rate).  The wrapper consumes
 ``rng.next()`` in the same order as the unfused path, keeping every
 downstream dropout aligned.
 """
@@ -92,13 +96,13 @@ def _feat_drop(x, seed, rate: float, row_offset):
     return jnp.where(keep, x * scale.astype(x.dtype), jnp.zeros_like(x))
 
 
-def _attn_drop(a, seed, rate: float, row_offset, total_rows: int, head: int,
+def _attn_drop(a, seed, rate: float, row_offset, total_rows: int, head,
                dst_major: bool):
     """Hash dropout over an [R, R] attention tile.  The element index is
-    the global (src, dst) node pair — identical regardless of whether the
-    tile is laid out [src, dst] (``dst_major=False``, backward) or
-    [dst, src] (``dst_major=True``, forward), so forward and backward
-    regenerate the same mask.  ``head`` folds into the seed."""
+    the global (src, dst) node pair — identical whether the tile is laid
+    out [src, dst] (``dst_major=False``, backward) or [dst, src]
+    (``dst_major=True``, forward), so forward and backward regenerate
+    the same mask.  ``head`` (static or traced) folds into the seed."""
     if rate == 0.0:
         return a
     R = a.shape[0]
@@ -108,7 +112,7 @@ def _attn_drop(a, seed, rate: float, row_offset, total_rows: int, head: int,
     src, dst = (cols, rows) if dst_major else (rows, cols)
     idx = (src + off) * jnp.uint32(total_rows) + (dst + off)
     mixed = seed.astype(jnp.uint32) \
-        + jnp.uint32((head * _HEAD_MIX) & 0xFFFFFFFF)
+        + jnp.uint32(head).astype(jnp.uint32) * jnp.uint32(_HEAD_MIX)
     keep = _hash_keep(mixed, idx, rate)
     scale = jnp.asarray(1.0 / (1.0 - rate), jnp.float32)
     return jnp.where(keep, a * scale.astype(a.dtype), jnp.zeros_like(a))
@@ -134,12 +138,11 @@ def _leaky(z):
     return jnp.where(z >= 0, z, z * 0.2)
 
 
-def _proj_logits(hd, w_ref, al_ref, ar_ref, cdt, R, H, F):
-    """fs = hd @ W^T and the per-head attention logits el/er [R, H]."""
-    fs = _dot(hd, w_ref[:], ((1,), (1,))).astype(cdt)       # [R, H*F]
-    fs4 = fs.reshape(R, H, F)
-    el = jnp.sum(fs4 * al_ref[:][None], axis=-1)            # [R, H] cdt
-    er = jnp.sum(fs4 * ar_ref[:][None], axis=-1)
+def _head_logits(hd, w_ref, al_ref, ar_ref, cdt):
+    """fs_h = hd @ W_h^T [R, F] and attention logits el/er [R, 1]."""
+    fs = _dot(hd, w_ref[:], ((1,), (1,))).astype(cdt)
+    el = jnp.sum(fs * al_ref[:], axis=-1, keepdims=True)    # [R, 1]
+    er = jnp.sum(fs * ar_ref[:], axis=-1, keepdims=True)
     return fs, el, er
 
 
@@ -153,172 +156,149 @@ def _fwd_kernel(h_ref, adj_ref, adjT_ref, seeds_ref,
     R = Bb * N
     cdt = h_ref.dtype
     i = pl.program_id(0)
+    h = pl.program_id(1)
     row_off = i * R
 
     hflat = h_ref[:].reshape(R, D)
     # attention runs in [dst, src] orientation: conv1's mask is then the
     # TRANSPOSED adjacency, conv2's (reversed graph) the adjacency itself
-    mt1 = adjT_ref[0] != 0
-    mt2 = adj_ref[0] != 0
-
-    convs = ((mt1, w1_ref, al1_ref, ar1_ref, b1_ref, 0, 1),
-             (mt2, w2_ref, al2_ref, ar2_ref, b2_ref, 2, 3))
+    masksT = (adjT_ref[0] != 0, adj_ref[0] != 0)
+    convs = ((masksT[0], w1_ref, al1_ref, ar1_ref, b1_ref, 0, 1),
+             (masksT[1], w2_ref, al2_ref, ar2_ref, b2_ref, 2, 3))
     for ci, (maskT, w_ref, al_ref, ar_ref, b_ref, fs_i, as_i) in \
             enumerate(convs):
         hd = _feat_drop(hflat, seeds_ref[fs_i], feat_drop, row_off)
-        fs, el, er = _proj_logits(hd, w_ref, al_ref, ar_ref, cdt, R, H, F)
-        elT = jnp.transpose(el)                             # [H, R]
-        for h in range(H):
-            fs_h = fs[:, h * F:(h + 1) * F]
-            er_col = er[:, h:h + 1].astype(jnp.float32)     # [R, 1] (dst)
-            el_row = elT[h:h + 1, :].astype(jnp.float32)    # [1, R] (src)
-            zT = _leaky(er_col + el_row)                    # [dst, src] f32
-            aT = _masked_softmax(zT, maskT, axis=1).astype(cdt)
-            aT = _attn_drop(aT, seeds_ref[as_i], attn_drop, row_off,
-                            total_rows, h, dst_major=True)
-            rst = _dot(aT, fs_h, ((1,), (0,))).astype(cdt)  # [R, F]
-            val = rst + hd + b_ref[:, h * F:(h + 1) * F].astype(cdt)
-            sl = (slice(None), slice(h * F, (h + 1) * F))
-            if ci == 0:
-                acc_ref[sl] = val
-            else:
-                acc_ref[sl] += val
+        fs, el, er = _head_logits(hd, w_ref, al_ref, ar_ref, cdt)
+        el_row = jnp.transpose(el).astype(jnp.float32)      # [1, R] (src)
+        er_col = er.astype(jnp.float32)                     # [R, 1] (dst)
+        zT = _leaky(er_col + el_row)                        # [dst, src]
+        aT = _masked_softmax(zT, maskT, axis=1).astype(cdt)
+        aT = _attn_drop(aT, seeds_ref[as_i], attn_drop, row_off,
+                        total_rows, h, dst_major=True)
+        rst = _dot(aT, fs, ((1,), (0,))).astype(cdt)        # [R, F]
+        val = (rst + hd + b_ref[:].astype(cdt)).reshape(Bb, N, F)
+        if ci == 0:
+            acc_ref[:, 0] = val
+        else:
+            acc_ref[:, 0] += val
 
-    acc = acc_ref[:].reshape(R, H, F)
-    out_ref[:] = jnp.max(acc, axis=1).reshape(Bb, N, F)
+    # out_ref holds the running head-max (its block is revisited
+    # consecutively across the h grid dimension, staying in VMEM)
+    @pl.when(h == 0)
+    def _first():
+        out_ref[:] = acc_ref[:, 0]
+
+    @pl.when(h > 0)
+    def _rest():
+        out_ref[:] = jnp.maximum(out_ref[:], acc_ref[:, 0])
 
 
 def _bwd_kernel(h_ref, adj_ref, adjT_ref, seeds_ref,
                 w1_ref, al1_ref, ar1_ref, b1_ref,
-                w2_ref, al2_ref, ar2_ref, b2_ref, g_ref,
+                w2_ref, al2_ref, ar2_ref, b2_ref,
+                acc_ref, g_ref,
                 dh_ref, dw1_ref, dal1_ref, dar1_ref, db1_ref,
                 dw2_ref, dal2_ref, dar2_ref, db2_ref,
-                acc_ref, dfs_ref, *, N, H, F, feat_drop, attn_drop,
-                total_rows):
+                dw_s, dal_s, dar_s, db_s, dhd_s,
+                *, N, H, F, feat_drop, attn_drop, total_rows):
     Bb = h_ref.shape[0]
     D = h_ref.shape[2]
     R = Bb * N
     cdt = h_ref.dtype
     i = pl.program_id(0)
+    h = pl.program_id(1)
+    nb = pl.num_programs(0)
     row_off = i * R
     hflat = h_ref[:].reshape(R, D)
     g = g_ref[:].reshape(R, F).astype(jnp.float32)
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (h == 0))
     def _init():
-        for ref in (dw1_ref, dal1_ref, dar1_ref, db1_ref,
-                    dw2_ref, dal2_ref, dar2_ref, db2_ref):
+        for ref in (dw_s, dal_s, dar_s, db_s):
             ref[:] = jnp.zeros(ref.shape, ref.dtype)
+
+    # head-max backward: split g evenly across argmax ties (jnp.max VJP),
+    # recomputed from the saved per-head acc.  All head indices here are
+    # STATIC (the traced grid-head h is matched by predicated selects) —
+    # Mosaic's dynamic indexing on tiled dims is not relied upon.
+    mx = acc_ref[:, 0].reshape(R, F).astype(jnp.float32)
+    for hh in range(1, H):
+        mx = jnp.maximum(mx, acc_ref[:, hh].reshape(R, F)
+                         .astype(jnp.float32))
+    cnt = jnp.zeros((R, F), jnp.float32)
+    acc_h = jnp.zeros((R, F), jnp.float32)
+    for hh in range(H):
+        a32 = acc_ref[:, hh].reshape(R, F).astype(jnp.float32)
+        cnt = cnt + (a32 == mx).astype(jnp.float32)
+        acc_h = jnp.where(h == hh, a32, acc_h)
+    dacc = jnp.where(acc_h == mx, g / cnt, 0.0)             # [R, F] f32
+    dacc_c = dacc.astype(cdt)
 
     # backward works in [src, dst] orientation: conv1 masks with the
     # adjacency, conv2 with its transpose
-    m1 = adj_ref[0] != 0
-    m2 = adjT_ref[0] != 0
-    convs = ((m1, w1_ref, al1_ref, ar1_ref, b1_ref, 0, 1),
-             (m2, w2_ref, al2_ref, ar2_ref, b2_ref, 2, 3))
-
-    # ---- pass 1: recompute acc (per-head pre-max values) -------------------
-    # identical to the forward kernel: [dst, src] orientation, so conv1
-    # masks with the TRANSPOSED adjacency here and rst is a plain AB dot
-    mt = (adjT_ref[0] != 0, adj_ref[0] != 0)
-    per_conv = []
-    for ci, (mask, w_ref, al_ref, ar_ref, b_ref, fs_i, as_i) in \
-            enumerate(convs):
+    masks = (adj_ref[0] != 0, adjT_ref[0] != 0)
+    convs = ((masks[0], w1_ref, al1_ref, ar1_ref, 0, 1),
+             (masks[1], w2_ref, al2_ref, ar2_ref, 2, 3))
+    for ci, (mask, w_ref, al_ref, ar_ref, fs_i, as_i) in enumerate(convs):
         hd = _feat_drop(hflat, seeds_ref[fs_i], feat_drop, row_off)
-        fs, el, er = _proj_logits(hd, w_ref, al_ref, ar_ref, cdt, R, H, F)
-        elT = jnp.transpose(el)                             # [H, R]
-        erT = jnp.transpose(er)                             # [H, R]
-        per_conv.append((mask, hd, fs, el, erT))
-        for h in range(H):
-            fs_h = fs[:, h * F:(h + 1) * F]
-            er_col = er[:, h:h + 1].astype(jnp.float32)     # [R, 1] (dst)
-            el_row = elT[h:h + 1, :].astype(jnp.float32)    # [1, R] (src)
-            zT = _leaky(er_col + el_row)                    # [dst, src]
-            aT = _masked_softmax(zT, mt[ci], axis=1).astype(cdt)
-            aT = _attn_drop(aT, seeds_ref[as_i], attn_drop, row_off,
-                            total_rows, h, dst_major=True)
-            rst = _dot(aT, fs_h, ((1,), (0,))).astype(cdt)
-            val = rst + hd + b_ref[:, h * F:(h + 1) * F].astype(cdt)
-            sl = (slice(None), slice(h * F, (h + 1) * F))
-            if ci == 0:
-                acc_ref[sl] = val
-            else:
-                acc_ref[sl] += val
+        fs, el, er = _head_logits(hd, w_ref, al_ref, ar_ref, cdt)
+        el_col = el.astype(jnp.float32)                     # [R, 1] (src)
+        er_row = jnp.transpose(er).astype(jnp.float32)      # [1, R] (dst)
+        zraw = el_col + er_row                              # [src, dst]
+        a0 = _masked_softmax(_leaky(zraw), mask, axis=0)
+        a = _attn_drop(a0.astype(cdt), seeds_ref[as_i], attn_drop,
+                       row_off, total_rows, h, dst_major=False)
+        da = _dot(fs, dacc_c, ((1,), (1,)))                 # [src, dst] f32
+        dfs = _dot(a, dacc_c, ((1,), (0,)))                 # [R, F] f32
+        da = _attn_drop(da, seeds_ref[as_i], attn_drop, row_off,
+                        total_rows, h, dst_major=False)
+        t = jnp.sum(a0 * da, axis=0, keepdims=True)
+        dz = a0 * (da - t)
+        dz = jnp.where(zraw >= 0, dz, dz * 0.2)
+        del_col = jnp.sum(dz, axis=1, keepdims=True)        # [R, 1] (src)
+        der_row = jnp.sum(dz, axis=0, keepdims=True)        # [1, R] (dst)
+        der_col = jnp.transpose(der_row)                    # [R, 1]
+        fs_f32 = fs.astype(jnp.float32)
+        al32 = al_ref[:].astype(jnp.float32)
+        ar32 = ar_ref[:].astype(jnp.float32)
+        dfs = dfs + del_col * al32 + der_col * ar32
+        # per-(conv, head) accumulators indexed on the leading (batch)
+        # dim only: s = ci*H + h (traced h is fine on an untiled dim)
+        s = ci * H + h
+        dal_s[s] = dal_s[s] + jnp.sum(del_col * fs_f32, axis=0,
+                                      keepdims=True)
+        dar_s[s] = dar_s[s] + jnp.sum(der_col * fs_f32, axis=0,
+                                      keepdims=True)
+        db_s[s] = db_s[s] + jnp.sum(dacc, axis=0, keepdims=True)
+        dfs_c = dfs.astype(cdt)
+        # weight grad (flash dV form) + incremental input grad
+        dw_s[s] = dw_s[s] + _dot(dfs_c, hd, ((0,), (0,)))
+        dhd = dacc + _dot(dfs_c, w_ref[:], ((1,), (0,)))    # [R, D] f32
 
-    # head-max backward: split g evenly across argmax ties (jnp.max VJP).
-    # mx/cnt live in [R, F] f32 (bf16->f32 is exact, so tie detection
-    # matches the cdt max); per-head cotangents regenerate on the fly.
-    mx = acc_ref[:, 0:F].astype(jnp.float32)
-    for h in range(1, H):
-        mx = jnp.maximum(mx, acc_ref[:, h * F:(h + 1) * F]
-                         .astype(jnp.float32))
-    cnt = jnp.zeros((R, F), jnp.float32)
-    for h in range(H):
-        eq = acc_ref[:, h * F:(h + 1) * F].astype(jnp.float32) == mx
-        cnt = cnt + eq.astype(jnp.float32)
-    gsplit = g / cnt                                        # [R, F] f32
+        @pl.when(h == 0)
+        def _set():
+            dhd_s[ci] = dhd
 
-    def dacc_head(h):
-        sel = acc_ref[:, h * F:(h + 1) * F].astype(jnp.float32) == mx
-        return jnp.where(sel, gsplit, 0.0)                  # f32
+        @pl.when(h > 0)
+        def _add():
+            dhd_s[ci] = dhd_s[ci] + dhd
 
-    # ---- pass 2: per-conv gradient chains ----------------------------------
-    dh = jnp.zeros((R, D), jnp.float32)
-    wgrad_refs = ((dw1_ref, dal1_ref, dar1_ref, db1_ref),
-                  (dw2_ref, dal2_ref, dar2_ref, db2_ref))
-    for ci, (mask, w_ref, al_ref, ar_ref, b_ref, fs_i, as_i) in \
-            enumerate(convs):
-        _, hd, fs, el, erT = per_conv[ci]
-        dw_ref, dal_ref, dar_ref, db_ref = wgrad_refs[ci]
-        dhd = jnp.zeros((R, D), jnp.float32)
-        der_rows = []
-        for h in range(H):
-            fs_h = fs[:, h * F:(h + 1) * F]
-            dacc_h = dacc_head(h)                           # f32
-            db_ref[:, h * F:(h + 1) * F] += jnp.sum(dacc_h, axis=0,
-                                                    keepdims=True)
-            dhd = dhd + dacc_h                              # residual path
-            # recompute this head's attention ([src, dst], f32)
-            el_col = el[:, h:h + 1].astype(jnp.float32)
-            er_row = erT[h:h + 1, :].astype(jnp.float32)
-            zraw = el_col + er_row
-            a0 = _masked_softmax(_leaky(zraw), mask, axis=0)
-            a = _attn_drop(a0.astype(cdt), seeds_ref[as_i], attn_drop,
-                           row_off, total_rows, h, dst_major=False)
-            dacc_c = dacc_h.astype(cdt)
-            da = _dot(fs_h, dacc_c, ((1,), (1,)))           # [src, dst] f32
-            dfs_h = _dot(a, dacc_c, ((1,), (0,)))           # [R, F] f32
-            # attention-dropout backward: same mask regenerated
-            da = _attn_drop(da, seeds_ref[as_i], attn_drop, row_off,
-                            total_rows, h, dst_major=False)
-            # softmax backward (per destination column, rows = sources)
-            t = jnp.sum(a0 * da, axis=0, keepdims=True)
-            dz = a0 * (da - t)
-            dz = jnp.where(zraw >= 0, dz, dz * 0.2)
-            del_col = jnp.sum(dz, axis=1, keepdims=True)    # [R, 1] (src)
-            der_rows.append(jnp.sum(dz, axis=0, keepdims=True))  # [1, R]
-            fs_f32 = fs_h.astype(jnp.float32)
-            dfs_h = dfs_h + del_col * al_ref[h:h + 1, :].astype(jnp.float32)
-            dal_ref[h:h + 1, :] += jnp.sum(del_col * fs_f32, axis=0,
-                                           keepdims=True)
-            dfs_ref[:, h * F:(h + 1) * F] = dfs_h.astype(cdt)
-        # dst-side attention-logit grads: one [H, R] -> [R, H] transpose
-        # per conv instead of one [1, R] -> [R, 1] per head
-        derT = jnp.transpose(jnp.concatenate(der_rows, axis=0))  # [R, H]
-        for h in range(H):
-            der_col = derT[:, h:h + 1]                      # [R, 1] f32
-            fs_f32 = fs[:, h * F:(h + 1) * F].astype(jnp.float32)
-            dar_ref[h:h + 1, :] += jnp.sum(der_col * fs_f32, axis=0,
-                                           keepdims=True)
-            dfs_ref[:, h * F:(h + 1) * F] += \
-                (der_col * ar_ref[h:h + 1, :].astype(jnp.float32)
-                 ).astype(cdt)
-        dfs = dfs_ref[:]
-        dw_ref[:] += _dot(dfs, hd, ((0,), (0,)))            # [H*F, D] f32
-        dhd = dhd + _dot(dfs, w_ref[:], ((1,), (0,)))       # [R, D] f32
-        # feature-dropout backward (bit-identical mask regeneration)
-        dh = dh + _feat_drop(dhd, seeds_ref[fs_i], feat_drop, row_off)
-    dh_ref[:] = dh.astype(cdt).reshape(Bb, N, D)
+    @pl.when(h == H - 1)
+    def _emit_dh():
+        dh = _feat_drop(dhd_s[0], seeds_ref[0], feat_drop, row_off) \
+            + _feat_drop(dhd_s[1], seeds_ref[2], feat_drop, row_off)
+        dh_ref[:] = dh.astype(cdt).reshape(Bb, N, D)
+
+    @pl.when((i == nb - 1) & (h == H - 1))
+    def _emit_wgrads():
+        dw1_ref[:] = dw_s[0:H].reshape(H * F, D)
+        dw2_ref[:] = dw_s[H:2 * H].reshape(H * F, D)
+        dal1_ref[:] = dal_s[0:H, 0]
+        dal2_ref[:] = dal_s[H:2 * H, 0]
+        dar1_ref[:] = dar_s[0:H, 0]
+        dar2_ref[:] = dar_s[H:2 * H, 0]
+        db1_ref[:] = db_s[0:H, 0]
+        db2_ref[:] = db_s[H:2 * H, 0]
 
 
 def block_diag_adj(adj, block: int):
@@ -362,18 +342,23 @@ def _fused(cfg, h, adj_big, adjT_big, seeds,
     return out
 
 
-def _common_in_specs(Bb, N, R, D):
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+def _common_in_specs(Bb, N, R, D, F):
+    whead = pl.BlockSpec((F, D), lambda i, h: (h, 0),
+                         memory_space=pltpu.VMEM)
+    ahead = pl.BlockSpec((1, F), lambda i, h: (h, 0),
+                         memory_space=pltpu.VMEM)
+    bhead = pl.BlockSpec((1, F), lambda i, h: (0, h),
+                         memory_space=pltpu.VMEM)
     return [
-        pl.BlockSpec((Bb, N, D), lambda i: (i, 0, 0),
+        pl.BlockSpec((Bb, N, D), lambda i, h: (i, 0, 0),
                      memory_space=pltpu.VMEM),              # h
-        pl.BlockSpec((1, R, R), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, R, R), lambda i, h: (i, 0, 0),
                      memory_space=pltpu.VMEM),              # adj_big
-        pl.BlockSpec((1, R, R), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, R, R), lambda i, h: (i, 0, 0),
                      memory_space=pltpu.VMEM),              # adjT_big
         pl.BlockSpec(memory_space=pltpu.SMEM),              # seeds
-        full, full, full, full,                             # conv1 params
-        full, full, full, full,                             # conv2 params
+        whead, ahead, ahead, bhead,                         # conv1 params
+        whead, ahead, ahead, bhead,                         # conv2 params
     ]
 
 
@@ -390,24 +375,31 @@ def _fused_fwd(cfg, h, adj_big, adjT_big, seeds,
     kern = functools.partial(_fwd_kernel, N=N, H=H, F=F,
                              feat_drop=feat_drop, attn_drop=attn_drop,
                              total_rows=B * N)
-    out = pl.pallas_call(
+    out, acc = pl.pallas_call(
         kern,
-        grid=(nb,),
-        in_specs=_common_in_specs(Bb, N, R, D),
-        out_specs=pl.BlockSpec((Bb, N, F), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, F), h.dtype),
-        scratch_shapes=[pltpu.VMEM((R, H * F), h.dtype)],
+        grid=(nb, H),
+        in_specs=_common_in_specs(Bb, N, R, D, F),
+        out_specs=[
+            pl.BlockSpec((Bb, N, F), lambda i, h: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # out (head max)
+            pl.BlockSpec((Bb, 1, N, F), lambda i, h: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),          # acc (per head)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, F), h.dtype),
+            jax.ShapeDtypeStruct((B, H, N, F), h.dtype),
+        ],
         compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(h, adj_big, adjT_big, seeds, w1, al1, ar1, b1, w2, al2, ar2, b2)
     return out, (h, adj_big, adjT_big, seeds, w1, al1, ar1, b1,
-                 w2, al2, ar2, b2)
+                 w2, al2, ar2, b2, acc)
 
 
 def _fused_bwd(cfg, res, g):
     N, H, F, feat_drop, attn_drop, interpret = cfg
-    h, adj_big, adjT_big, seeds, w1, al1, ar1, b1, w2, al2, ar2, b2 = res
+    (h, adj_big, adjT_big, seeds, w1, al1, ar1, b1, w2, al2, ar2, b2,
+     acc) = res
     B, _, D = h.shape
     Bb = adj_big.shape[1] // N
     R = Bb * N
@@ -419,26 +411,34 @@ def _fused_bwd(cfg, res, g):
     wg = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
     outs = pl.pallas_call(
         kern,
-        grid=(nb,),
-        in_specs=_common_in_specs(Bb, N, R, D) + [
-            pl.BlockSpec((Bb, N, F), lambda i: (i, 0, 0),
+        grid=(nb, H),
+        in_specs=_common_in_specs(Bb, N, R, D, F) + [
+            pl.BlockSpec((Bb, H, N, F), lambda i, h: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),          # acc
+            pl.BlockSpec((Bb, N, F), lambda i, h: (i, 0, 0),
                          memory_space=pltpu.VMEM)],         # g
         out_specs=[
-            pl.BlockSpec((Bb, N, D), lambda i: (i, 0, 0),
+            pl.BlockSpec((Bb, N, D), lambda i, h: (i, 0, 0),
                          memory_space=pltpu.VMEM),          # dh
             fixed, fixed, fixed, fixed,                     # conv1 grads
             fixed, fixed, fixed, fixed,                     # conv2 grads
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, N, D), h.dtype),
-            wg(w1.shape), wg(al1.shape), wg(ar1.shape), wg((1, H * F)),
-            wg(w2.shape), wg(al2.shape), wg(ar2.shape), wg((1, H * F)),
+            wg(w1.shape), wg(al1.shape), wg(ar1.shape), wg((H, F)),
+            wg(w2.shape), wg(al2.shape), wg(ar2.shape), wg((H, F)),
         ],
-        scratch_shapes=[pltpu.VMEM((R, H * F), h.dtype),    # acc
-                        pltpu.VMEM((R, H * F), h.dtype)],   # dfs
+        scratch_shapes=[
+            pltpu.VMEM((2 * H, F, D), jnp.float32),         # dw_s
+            pltpu.VMEM((2 * H, 1, F), jnp.float32),         # dal_s
+            pltpu.VMEM((2 * H, 1, F), jnp.float32),         # dar_s
+            pltpu.VMEM((2 * H, 1, F), jnp.float32),         # db_s
+            pltpu.VMEM((2, R, D), jnp.float32),             # dhd_s
+        ],
         compiler_params=_VMEM_LIMIT,
         interpret=interpret,
-    )(h, adj_big, adjT_big, seeds, w1, al1, ar1, b1, w2, al2, ar2, b2, g)
+    )(h, adj_big, adjT_big, seeds, w1, al1, ar1, b1, w2, al2, ar2, b2,
+      acc, g)
     dh, dw1, dal1, dar1, db1, dw2, dal2, dar2, db2 = outs
     cast = lambda x, ref: x.astype(ref.dtype)
     return (dh, jnp.zeros_like(adj_big), jnp.zeros_like(adjT_big),
