@@ -138,12 +138,29 @@ def _leaky(z):
     return jnp.where(z >= 0, z, z * 0.2)
 
 
-def _head_logits(hd, w_ref, al_ref, ar_ref, cdt):
-    """fs_h = hd @ W_h^T [R, F] and attention logits el/er [R, 1]."""
+def _head_logits(hd, w_ref, al_ref, ar_ref, cdt, col_is_r):
+    """fs_h = hd @ W_h^T [R, F] and the attention logits in the exact
+    orientations the caller consumes — ``col`` as [R, 1] and ``row`` as
+    [1, R] — each produced DIRECTLY by a matvec against fs.  A [R, 1] ->
+    [1, R] vector transpose in Mosaic is a scalar-core relayout (~ms per
+    kernel at this grid size, measured); these matvecs replace it with
+    MXU work.
+
+    ``col_is_r``: 'er' for the forward ([dst, src]: er is the column),
+    'el' for the backward ([src, dst]: el is the column).
+
+    ``al_ref``/``ar_ref`` are ``(1, 1, F)`` blocks of the ``[H, 1, F]``
+    attention params (a ``(1, F)`` block of ``[H, F]`` would violate the
+    sublane-divisibility rule)."""
     fs = _dot(hd, w_ref[:], ((1,), (1,))).astype(cdt)
-    el = jnp.sum(fs * al_ref[:], axis=-1, keepdims=True)    # [R, 1]
-    er = jnp.sum(fs * ar_ref[:], axis=-1, keepdims=True)
-    return fs, el, er
+    al, ar = al_ref[0], ar_ref[0]                           # [1, F]
+    cvec, rvec = (ar, al) if col_is_r == "er" else (al, ar)
+    # all-f32 matvecs: Mosaic requires a 32-bit matmul accumulator and
+    # miscompiles mixed bf16xbf16->f32 for these vector shapes
+    fs32 = fs.astype(jnp.float32)
+    col = _dot(fs32, cvec.astype(jnp.float32), ((1,), (1,)))    # [R, 1]
+    row = _dot(rvec.astype(jnp.float32), fs32, ((1,), (1,)))    # [1, R]
+    return fs, col, row
 
 
 def _fwd_kernel(h_ref, adj_ref, adjT_ref, seeds_ref,
@@ -168,10 +185,10 @@ def _fwd_kernel(h_ref, adj_ref, adjT_ref, seeds_ref,
     for ci, (maskT, w_ref, al_ref, ar_ref, b_ref, fs_i, as_i) in \
             enumerate(convs):
         hd = _feat_drop(hflat, seeds_ref[fs_i], feat_drop, row_off)
-        fs, el, er = _head_logits(hd, w_ref, al_ref, ar_ref, cdt)
-        el_row = jnp.transpose(el).astype(jnp.float32)      # [1, R] (src)
-        er_col = er.astype(jnp.float32)                     # [R, 1] (dst)
-        zT = _leaky(er_col + el_row)                        # [dst, src]
+        fs, er_col, el_row = _head_logits(hd, w_ref, al_ref, ar_ref, cdt,
+                                          "er")
+        zT = _leaky(er_col.astype(jnp.float32)
+                    + el_row.astype(jnp.float32))           # [dst, src]
         aT = _masked_softmax(zT, maskT, axis=1).astype(cdt)
         aT = _attn_drop(aT, seeds_ref[as_i], attn_drop, row_off,
                         total_rows, h, dst_major=True)
@@ -241,10 +258,10 @@ def _bwd_kernel(h_ref, adj_ref, adjT_ref, seeds_ref,
              (masks[1], w2_ref, al2_ref, ar2_ref, 2, 3))
     for ci, (mask, w_ref, al_ref, ar_ref, fs_i, as_i) in enumerate(convs):
         hd = _feat_drop(hflat, seeds_ref[fs_i], feat_drop, row_off)
-        fs, el, er = _head_logits(hd, w_ref, al_ref, ar_ref, cdt)
-        el_col = el.astype(jnp.float32)                     # [R, 1] (src)
-        er_row = jnp.transpose(er).astype(jnp.float32)      # [1, R] (dst)
-        zraw = el_col + er_row                              # [src, dst]
+        fs, el_col, er_row = _head_logits(hd, w_ref, al_ref, ar_ref, cdt,
+                                          "el")
+        zraw = el_col.astype(jnp.float32) \
+            + er_row.astype(jnp.float32)                    # [src, dst]
         a0 = _masked_softmax(_leaky(zraw), mask, axis=0)
         a = _attn_drop(a0.astype(cdt), seeds_ref[as_i], attn_drop,
                        row_off, total_rows, h, dst_major=False)
@@ -259,8 +276,8 @@ def _bwd_kernel(h_ref, adj_ref, adjT_ref, seeds_ref,
         der_row = jnp.sum(dz, axis=0, keepdims=True)        # [1, R] (dst)
         der_col = jnp.transpose(der_row)                    # [R, 1]
         fs_f32 = fs.astype(jnp.float32)
-        al32 = al_ref[:].astype(jnp.float32)
-        ar32 = ar_ref[:].astype(jnp.float32)
+        al32 = al_ref[0].astype(jnp.float32)
+        ar32 = ar_ref[0].astype(jnp.float32)
         dfs = dfs + del_col * al32 + der_col * ar32
         # per-(conv, head) accumulators indexed on the leading (batch)
         # dim only: s = ci*H + h (traced h is fine on an untiled dim)
@@ -293,10 +310,10 @@ def _bwd_kernel(h_ref, adj_ref, adjT_ref, seeds_ref,
     def _emit_wgrads():
         dw1_ref[:] = dw_s[0:H].reshape(H * F, D)
         dw2_ref[:] = dw_s[H:2 * H].reshape(H * F, D)
-        dal1_ref[:] = dal_s[0:H, 0]
-        dal2_ref[:] = dal_s[H:2 * H, 0]
-        dar1_ref[:] = dar_s[0:H, 0]
-        dar2_ref[:] = dar_s[H:2 * H, 0]
+        dal1_ref[:] = dal_s[0:H]
+        dal2_ref[:] = dal_s[H:2 * H]
+        dar1_ref[:] = dar_s[0:H]
+        dar2_ref[:] = dar_s[H:2 * H]
         db1_ref[:] = db_s[0:H, 0]
         db2_ref[:] = db_s[H:2 * H, 0]
 
@@ -345,7 +362,7 @@ def _fused(cfg, h, adj_big, adjT_big, seeds,
 def _common_in_specs(Bb, N, R, D, F):
     whead = pl.BlockSpec((F, D), lambda i, h: (h, 0),
                          memory_space=pltpu.VMEM)
-    ahead = pl.BlockSpec((1, F), lambda i, h: (h, 0),
+    ahead = pl.BlockSpec((1, 1, F), lambda i, h: (h, 0, 0),
                          memory_space=pltpu.VMEM)
     bhead = pl.BlockSpec((1, F), lambda i, h: (0, h),
                          memory_space=pltpu.VMEM)
@@ -489,6 +506,10 @@ def fused_intra_gat(p1, p2, feat, adj, rng, *, num_heads: int,
     cfg = (N, H, F, float(feat_drop), float(attn_drop), bool(interpret))
     b1 = p1["bias"].reshape(1, H * F)
     b2 = p2["bias"].reshape(1, H * F)
+    # attention params as [H, 1, F] so per-head (1, 1, F) blocks satisfy
+    # the sublane-divisibility rule; grads flow back through the reshape
     return _fused(cfg, feat, adj_big, adjT_big, seeds,
-                  p1["fc"], p1["attn_l"], p1["attn_r"], b1,
-                  p2["fc"], p2["attn_l"], p2["attn_r"], b2)
+                  p1["fc"], p1["attn_l"].reshape(H, 1, F),
+                  p1["attn_r"].reshape(H, 1, F), b1,
+                  p2["fc"], p2["attn_l"].reshape(H, 1, F),
+                  p2["attn_r"].reshape(H, 1, F), b2)
