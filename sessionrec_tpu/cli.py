@@ -56,6 +56,11 @@ def _add_train_flags(p):
                    help="device-side train steps per dispatch (lax.scan)")
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--table-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="embedding-table storage dtype; bfloat16 halves "
+                        "table+moment HBM traffic (stochastic-rounded "
+                        "updates)")
     p.add_argument("--max-epoch-batches", type=int, default=None,
                    help="cap batches per epoch (smoke runs)")
     p.add_argument("--metrics-file", default=None,
@@ -83,6 +88,7 @@ def build_config(args):
     m.extra = args.extra
     m.fusion = args.fusion
     m.compute_dtype = args.compute_dtype
+    m.table_dtype = args.table_dtype
     d.dataset_dir = args.dataset_dir
     if args.batch_size is not None:
         d.batch_size = args.batch_size

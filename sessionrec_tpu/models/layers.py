@@ -363,8 +363,7 @@ def init_mshgnn(key, dim, order: int, *, bound, num_heads=8):
     return p
 
 
-def mshgnn_apply(p, feats, batch, rng, *, feat_drop, training, num_heads=8,
-                 fused=False):
+def mshgnn_apply(p, feats, batch, rng, *, feat_drop, training, num_heads=8):
     """Hetero message passing over the CCS batch.
 
     For each level: GAT over the forward relations (conv1) + GAT over the
@@ -372,23 +371,16 @@ def mshgnn_apply(p, feats, batch, rng, *, feat_drop, training, num_heads=8,
     max over the 8 heads, plus a broadcast per-graph mean of the *input*
     features (msgifsr.py:84-89).
 
-    ``fused=True`` (order-1 batches only — the head-max must close over
-    the intra convs alone) routes the intra conv pair + residual + bias +
-    head-max through the single Pallas kernel of ops/gat_fused.py.
+    Stays the dense XLA formulation on purpose: a fused Pallas kernel for
+    the intra conv pair was built and measured twice (rounds 2-3) and
+    lost to this path both times (9x slower; block-diagonalising the
+    batch to feed the MXU costs the same ~N_pad/N compute multiple that
+    XLA's padding of the tiny per-session [20,20]@[20,256] contractions
+    does, without XLA's fusion around it — see BENCH_NOTES.md round 3).
     """
     K = batch.order
     kw = dict(num_heads=num_heads, feat_drop=feat_drop, attn_drop=feat_drop,
               training=training)
-    if fused and K == 1:
-        from sessionrec_tpu.ops.gat_fused import fused_intra_gat
-        lv = batch.levels[0]
-        f = feats[0]
-        h = fused_intra_gat(p["conv1"]["intra1"], p["conv2"]["intra1"],
-                            f, lv.intra_adj, rng, num_heads=num_heads,
-                            feat_drop=feat_drop, attn_drop=feat_drop,
-                            training=training)
-        h_mean = masked_mean(f, lv.mask[..., None], axis=1)
-        return [h + h_mean[:, None, :]]
     out = []
     for l in range(1, K + 1):
         lv = batch.levels[l - 1]

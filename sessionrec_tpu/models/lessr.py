@@ -31,10 +31,12 @@ from sessionrec_tpu.ops import scoring
 
 def renorm_rows(table, max_norm=1.0, eps=1e-7):
     """torch Embedding(max_norm) renorm: rows with ||r|| > max_norm are
-    scaled by max_norm / (||r|| + eps)."""
-    n = jnp.linalg.norm(table, axis=-1, keepdims=True)
+    scaled by max_norm / (||r|| + eps).  Norms and scales compute in
+    float32 regardless of the table's storage dtype (bf16 norms are too
+    coarse for a projection boundary)."""
+    n = jnp.linalg.norm(table.astype(jnp.float32), axis=-1, keepdims=True)
     scale = jnp.where(n > max_norm, max_norm / (n + eps), 1.0)
-    return table * scale
+    return table * scale.astype(table.dtype)
 
 
 @dataclass(frozen=True)
@@ -45,6 +47,7 @@ class LESSR:
     batch_norm: bool = True
     feat_drop: float = 0.0
     compute_dtype: str = "float32"
+    table_dtype: str = "float32"
 
     graph_kind = "lessr"
     has_max_norm = True
@@ -56,7 +59,8 @@ class LESSR:
     def from_config(cls, cfg, num_items):
         return cls(num_items=num_items, embedding_dim=cfg.embedding_dim,
                    num_layers=cfg.num_layers, batch_norm=cfg.batch_norm,
-                   feat_drop=cfg.feat_drop, compute_dtype=cfg.compute_dtype)
+                   feat_drop=cfg.feat_drop, compute_dtype=cfg.compute_dtype,
+                   table_dtype=getattr(cfg, "table_dtype", "float32"))
 
     @property
     def padded_items(self):
@@ -70,7 +74,8 @@ class LESSR:
     def init(self, key):
         d = self.embedding_dim
         ks = jax.random.split(key, 4 + self.num_layers)
-        params = {"embedding": I.embedding_params(ks[0], self.padded_items, d),
+        params = {"embedding": I.embedding_params(ks[0], self.padded_items, d)
+                  .astype(jnp.dtype(self.table_dtype)),
                   "layers": []}
         state = {"layers": []}
         input_dim = d
@@ -105,9 +110,9 @@ class LESSR:
         cp = L.cast_floats({k: v for k, v in params.items()
                             if k != "embedding"}, cdt)
         new_state = {"layers": []}
-        feat = params["embedding"][batch.node_iid]
-        if cdt is not None:
-            feat = feat.astype(cdt)
+        # gathered rows always move to the compute dtype (the table itself
+        # may be stored bf16 independently of compute_dtype)
+        feat = params["embedding"][batch.node_iid].astype(cdt or jnp.float32)
         batch = batch if cdt is None else batch.replace(
             sc_adj=batch.sc_adj.astype(cdt))
         for i, (lp, ls) in enumerate(zip(cp["layers"], state["layers"])):

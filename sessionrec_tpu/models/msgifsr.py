@@ -54,13 +54,7 @@ class MSGIFSR:
     extra: bool = False
     fusion: bool = False
     compute_dtype: str = "float32"
-    # Fused intra-GAT Pallas kernel (ops/gat_fused.py).  None currently
-    # resolves to False: the kernel is numerically verified (value+grad
-    # parity vs the dense path, tests/test_gat_fused.py) but its TPU
-    # throughput is not yet proven faster than the dense XLA path, so it
-    # stays opt-in.  Under a multi-device mesh the runner forces False
-    # either way (a pallas_call cannot be GSPMD-partitioned).
-    fused_gat: bool | None = None
+    table_dtype: str = "float32"
 
     graph_kind = "ccs"
     has_max_norm = True
@@ -74,7 +68,7 @@ class MSGIFSR:
                    reducer=cfg.reducer, order=cfg.order, norm=cfg.norm,
                    extra=cfg.extra, fusion=cfg.fusion,
                    compute_dtype=cfg.compute_dtype,
-                   fused_gat=getattr(cfg, "fused_gat", None))
+                   table_dtype=getattr(cfg, "table_dtype", "float32"))
 
     @property
     def padded_items(self):
@@ -98,7 +92,8 @@ class MSGIFSR:
         ks = jax.random.split(key, 6 + self.num_layers)
         params = {
             "embedding": I.embedding_params(ks[0], self.padded_items, d,
-                                            bound=bound),
+                                            bound=bound)
+            .astype(jnp.dtype(self.table_dtype)),
             "alpha": jnp.zeros((K,)).at[0].set(1.0),   # msgifsr.py:213-214
             "beta": jnp.ones((1,)),                    # unused by forward
             "expander": L.init_semantic_expander(ks[1], d, self.reducer, K,
@@ -140,9 +135,10 @@ class MSGIFSR:
         feats = []
         for l in range(1, self.order + 1):
             lv = batch.levels[l - 1]
-            feat = params["embedding"][lv.iid]              # [B, Nk, k, d]
-            if cdt is not None:
-                feat = feat.astype(cdt)
+            # gathered rows always move to the compute dtype (the table
+            # itself may be stored bf16 independently of compute_dtype)
+            feat = params["embedding"][lv.iid] \
+                .astype(cdt or jnp.float32)                 # [B, Nk, k, d]
             feat = L.dropout(rng, feat, self.feat_drop, training)
             feat = L.semantic_expander_apply(cp["expander"], feat, l,
                                              self.reducer)
@@ -190,12 +186,10 @@ class MSGIFSR:
                                                    "readout", "fc_sr",
                                                    "sc_sr")}, cdt)
         feats = self._embed_levels(params, cp, batch, rng, training)
-        fused = bool(self.fused_gat) and self.order == 1
         h = feats
         for lp in cp["layers"]:
             h = L.mshgnn_apply(lp, h, batch, rng, feat_drop=self.feat_drop,
-                               training=training, num_heads=self.num_heads,
-                               fused=fused)
+                               training=training, num_heads=self.num_heads)
         if self.norm:
             h = [L.l2norm(x) for x in h]
         sr_g = self._readout(cp, batch, h)

@@ -30,6 +30,7 @@ class SRGNN:
     feat_drop: float = 0.0
     readout_on_embedding: bool = True
     compute_dtype: str = "float32"
+    table_dtype: str = "float32"
 
     graph_kind = "session"
     has_max_norm = False
@@ -42,7 +43,8 @@ class SRGNN:
         return cls(num_items=num_items, embedding_dim=cfg.embedding_dim,
                    num_layers=cfg.num_layers, feat_drop=cfg.feat_drop,
                    readout_on_embedding=cfg.readout_on_embedding,
-                   compute_dtype=cfg.compute_dtype)
+                   compute_dtype=cfg.compute_dtype,
+                   table_dtype=getattr(cfg, "table_dtype", "float32"))
 
     @property
     def padded_items(self):
@@ -60,7 +62,8 @@ class SRGNN:
         ks = jax.random.split(key, 3 + self.num_layers)
         params = {
             "embedding": I.embedding_params(ks[0], self.padded_items, d,
-                                            bound=bound),
+                                            bound=bound)
+            .astype(jnp.dtype(self.table_dtype)),
             "layers": [L.init_srgnn_layer(ks[1 + i], d, bound=bound)
                        for i in range(self.num_layers)],
             "fc_sr": I.linear_params(ks[-2], 2 * d, d, bias=False,
@@ -84,9 +87,9 @@ class SRGNN:
         cdt = self.cdt
         cp = L.cast_floats({k: params[k] for k in ("layers", "readout",
                                                    "fc_sr")}, cdt)
-        emb = params["embedding"][batch.node_iid]
-        if cdt is not None:
-            emb = emb.astype(cdt)
+        # gathered rows always move to the compute dtype (the table itself
+        # may be stored bf16 independently of compute_dtype)
+        emb = params["embedding"][batch.node_iid].astype(cdt or jnp.float32)
         adj = batch.adj if cdt is None else batch.adj.astype(cdt)
         feat = L.dropout(rng, emb, self.feat_drop, training)
         out = feat

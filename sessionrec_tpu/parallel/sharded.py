@@ -23,7 +23,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from sessionrec_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS,
                                           batch_sharding, param_sharding)
 from sessionrec_tpu.ops import scoring, xent
-from sessionrec_tpu.train.runner import (_mesh_safe_model, make_eval_step,
+from sessionrec_tpu.train.runner import (make_eval_step,
                                          make_train_step)
 
 
@@ -380,7 +380,6 @@ def make_sharded_unrolled_eval_step(model, mesh, cutoff=20, project=True):
     """Mesh counterpart of runner.make_unrolled_eval_step: scan over a
     stacked chunk of eval batches, per-batch distributed top-k over the
     catalog shards, summed (hit, mrr, n)."""
-    model = _mesh_safe_model(model, mesh)
 
     def eval_chunk(params, state, batches):
         if project:
@@ -403,7 +402,6 @@ def make_sharded_unrolled_eval_step(model, mesh, cutoff=20, project=True):
 
 def make_sharded_eval_step(model, mesh, cutoff=20):
     """Eval step whose top-k uses the shard_map candidate-merge path."""
-    model = _mesh_safe_model(model, mesh)
 
     def eval_step(params, state, batch):
         params = model.project_params(params)

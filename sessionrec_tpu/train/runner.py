@@ -11,7 +11,6 @@ training, train.py:91).  Checkpoint/resume is new, flag-gated.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 import time
 
@@ -87,15 +86,6 @@ def make_loss_fn(model, state, batch, rng, *, fused=True, mesh=None):
     return loss_fn
 
 
-def _mesh_safe_model(model, mesh):
-    """Under a mesh, force models onto their GSPMD-partitionable path: a
-    pallas_call (the fused intra-GAT kernel) cannot be partitioned by
-    GSPMD, so an unresolved (auto) ``fused_gat`` becomes False."""
-    if mesh is not None and getattr(model, "fused_gat", False) is None:
-        return dataclasses.replace(model, fused_gat=False)
-    return model
-
-
 def _constrain_params(mesh, params):
     """Pin updated params to their canonical sharding (embedding row-
     sharded over model, replicated over data).  With the ZeRO table
@@ -108,6 +98,33 @@ def _constrain_params(mesh, params):
     from sessionrec_tpu.parallel.mesh import param_sharding
     return jax.lax.with_sharding_constraint(params,
                                             param_sharding(mesh, params))
+
+
+def _apply_updates_project(model, params, updates, rng):
+    """``optax.apply_updates`` + max-norm projection, with unbiased
+    stochastic rounding when the embedding table is stored bfloat16.
+
+    A round-to-nearest ``p + u`` stalls for bf16 tables once
+    ``|u| < 2^-9 |p|`` (every update after the first StepLR decay); so
+    for bf16 tables the add and the max-norm projection run in float32
+    and the result rounds back with ops/sround.py — E[table'] equals the
+    f32 trajectory.  The SR seed folds out of the step's PRNG key, so
+    resume-from-checkpoint replays identical rounding decisions.
+    """
+    new_params = optax.apply_updates(params, updates)
+    emb = params.get("embedding") if isinstance(params, dict) else None
+    if emb is not None and emb.dtype == jnp.bfloat16:
+        from sessionrec_tpu.ops.sround import stochastic_round_bf16
+        new_params["embedding"] = (emb.astype(jnp.float32)
+                                   + updates["embedding"]
+                                   .astype(jnp.float32))
+        new_params = model.project_params(new_params)
+        seed = jax.random.key_data(jax.random.fold_in(rng, 0x5EED)) \
+            .ravel()[-1].astype(jnp.int32)
+        new_params["embedding"] = stochastic_round_bf16(
+            new_params["embedding"], seed)
+        return new_params
+    return model.project_params(new_params)
 
 
 def make_train_step(model, tx, *, fused=True, mesh=None):
@@ -123,16 +140,14 @@ def make_train_step(model, tx, *, fused=True, mesh=None):
     establish the invariant (fresh U(-1/sqrt d) inits are already inside
     the norm ball, so that projection is the identity).
     """
-    model = _mesh_safe_model(model, mesh)
-
     def train_step(params, state, opt_state, batch, rng):
         loss_fn = make_loss_fn(model, state, batch, rng, fused=fused,
                                mesh=mesh)
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        params = _constrain_params(mesh, model.project_params(params))
+        params = _apply_updates_project(model, params, updates, rng)
+        params = _constrain_params(mesh, params)
         return params, new_state, opt_state, loss
 
     return jax.jit(train_step, donate_argnums=(0, 1, 2))
@@ -155,8 +170,6 @@ def make_unrolled_train_step(model, tx, unroll: int, *, fused=True,
     those steps are skipped entirely under ``lax.cond`` so weight decay
     and the LR schedule's step count see exactly the real batches.
     """
-    model = _mesh_safe_model(model, mesh)
-
     def one_step(carry, xs):
         params, state, opt_state = carry
         batch, rng = xs
@@ -170,8 +183,8 @@ def make_unrolled_train_step(model, tx, unroll: int, *, fused=True,
             (loss, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            params = _constrain_params(mesh, model.project_params(params))
+            params = _apply_updates_project(model, params, updates, rng)
+            params = _constrain_params(mesh, params)
             return (params, new_state, opt_state), loss
 
         def skip(operand):

@@ -47,8 +47,12 @@ class ModelConfig:
     # output to the readout.
     readout_on_embedding: bool = True
     # numerics
-    param_dtype: str = "float32"
     compute_dtype: str = "float32"   # set "bfloat16" for MXU-speed training
+    # Storage dtype of the item-embedding table (the one big tensor).
+    # "bfloat16" halves the table + Adam-moment HBM traffic of every
+    # optimizer step; updates apply with unbiased stochastic rounding
+    # (ops/sround.py) so low-LR updates don't stall on bf16 resolution.
+    table_dtype: str = "float32"
 
 
 @dataclass
