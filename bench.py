@@ -1,24 +1,33 @@
-"""Benchmark: MSGIFSR training throughput, examples/sec/chip.
+"""Benchmark: training throughput matrix, examples/sec/chip.
 
 North-star config (BASELINE.json): MSGIFSR at Yoochoose-1/4 scale —
 catalog 37,484 items, embedding dim 256, batch 512, order 1 (the
-reference's start.sh:10 run config).  Data is synthetic at the same
-shape distribution (throughput does not depend on item identity).
+reference's start.sh:10 run config).  The matrix additionally covers
+the WSDM'22 paper configuration (order 3 + REnorm + IFR fusion,
+msgifsr.py:283-317), LESSR and NISER at their reference script defaults
+(main_lessr.py:11-52, main_niser.py:11-52), each in float32 and
+bfloat16 (bf16 runs also store the embedding table in bf16 with
+stochastically-rounded updates — ops/sround.py).
 
-The reference publishes no numbers and cannot run here (single NVIDIA
-GPU + DGL stack; BASELINE.md), so ``vs_baseline`` is measured against
-the recorded baseline below (round-1 self-measured float32 = 1.0; later
-rounds show the speedup over round 1).
+Data is synthetic at the same shape distribution (throughput does not
+depend on item identity).  The reference publishes no numbers and
+cannot run here (single NVIDIA GPU + DGL stack; BASELINE.md), so
+``vs_baseline`` is measured against the round-1 self-measured float32
+number for the north-star config.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — value
-is the best (bfloat16) run; the same line carries both dtypes' numbers,
-the FLOPs/example model, and MFU (fraction of the chip's bf16 matmul
-peak).  FLOPs = XLA's compiled-graph count (cost_analysis) + the fused
-softmax-CE Pallas kernel's analytic count (XLA does not include
-custom-call flops): forward 2*B*D*P, backward 3*2*B*D*P per step.
+is the north-star config's best (bfloat16) run; ``configs`` carries the
+full matrix with per-config FLOPs/example and MFU (fraction of the
+chip's bf16 matmul peak).  FLOPs = XLA's compiled-graph count
+(cost_analysis) + the fused softmax-CE Pallas kernel's analytic count
+(XLA does not count custom-call flops): fwd 2*B*K*D*P, bwd 3x, per
+optimizer step.
 
-``--compare`` prints f32/bf16 alternating runs; ``--profile DIR``
-captures a jax.profiler trace of the bench loop.
+Usage:
+  python bench.py                 # full matrix + JSON line
+  python bench.py --fast          # north-star config only
+  python bench.py --config NAME   # one config (see CONFIGS)
+  python bench.py --profile DIR   # jax.profiler trace of the bf16 run
 """
 
 from __future__ import annotations
@@ -28,19 +37,15 @@ import time
 
 import numpy as np
 
-# Round-1 self-measured baseline (examples/sec/chip) for this exact config
-# on one TPU v5e chip, measured with a HARD host-transfer sync (an earlier
-# recorded 699,974 used block_until_ready, which does not fence on the
-# remote-tunnel backend and timed only dispatch).  Update only when the
-# config changes.
+# Round-1 self-measured baseline (examples/sec/chip) for the north-star
+# config on one TPU v5e chip, measured with a HARD host-transfer sync (an
+# earlier recorded 699,974 used block_until_ready, which does not fence
+# on the remote-tunnel backend and timed only dispatch).  Update only
+# when the config changes.
 BASELINE_EPS = 53132.0
 
 NUM_ITEMS = 37484        # yoochoose-1/4 catalog (preprocess_yoochoose.py:154)
-EMBED_DIM = 256          # main_msgifsr.py:39
-BATCH = 512              # main_msgifsr.py:46
-ORDER = 1                # start.sh:10
 MAX_LEN = 20             # preprocess.py:45-50 session cap
-NUM_LAYERS = 1
 # Device-side steps per dispatch (lax.scan chunk; the TrainRunner path).
 # At 64 the measurement is device-compute-bound — below that, per-call
 # dispatch through the remote-TPU tunnel (~0.7 ms/call) dominates.
@@ -49,54 +54,100 @@ WARMUP_CALLS = 5
 BENCH_CALLS = 25         # 25 calls x 64 steps = 1600 optimizer steps / window
 BENCH_REPS = 3
 
-
-def synthetic_batches(n_batches, rng):
-    from sessionrec_tpu.graph import builders
-    from sessionrec_tpu.graph.batch import CcsBatch, CcsLevel
-    out = []
-    for _ in range(n_batches):
-        lens = rng.integers(1, MAX_LEN + 1, size=BATCH)
-        seqs = [list(rng.integers(0, NUM_ITEMS, size=l)) for l in lens]
-        labels = list(rng.integers(0, NUM_ITEMS, size=BATCH))
-        d = builders.build_ccs_batch(seqs, labels, ORDER, MAX_LEN, BATCH)
-        out.append(CcsBatch(
-            levels=tuple(CcsLevel(**lv) for lv in d["levels"]),
-            inter_in=tuple(d["inter_in"]), inter_out=tuple(d["inter_out"]),
-            labels=d["labels"], valid=d["valid"]))
-    return out
-
-
 # TPU v5e (v5 lite) dense matmul peak, bf16
 PEAK_FLOPS_BF16 = 197e12
 
+# Per-config model/batch settings.  Shapes follow the reference's own
+# script defaults; the catalog is yoochoose-1/4 for every config (the
+# scaling axis of this workload).
+CONFIGS = {
+    # start.sh:10 — the north-star single-chip config
+    "msgifsr-o1": dict(model="msgifsr", batch=512, dim=256, layers=1,
+                       feat_drop=0.1, order=1),
+    # WSDM'22 paper configuration (msgifsr.py:283-317 REnorm + fusion)
+    "msgifsr-o3-paper": dict(model="msgifsr", batch=512, dim=256, layers=1,
+                             feat_drop=0.1, order=3, extra=True, fusion=True),
+    # main_lessr.py defaults: dim 32, 3 layers, drop 0.2, bs 512
+    "lessr": dict(model="lessr", batch=512, dim=32, layers=3, feat_drop=0.2),
+    # main_niser.py defaults: dim 64, 2 layers, drop 0.5, bs 128
+    "niser": dict(model="niser", batch=128, dim=64, layers=2, feat_drop=0.5),
+}
 
-def run(compute_dtype="float32", quiet=False, profile_dir=None):
+
+def synthetic_batches(cfg, n_batches, rng):
+    from sessionrec_tpu.graph import builders
+    from sessionrec_tpu.graph.batch import (CcsBatch, CcsLevel, LessrBatch,
+                                            SessionGraphBatch)
+    B = cfg["batch"]
+    out = []
+    for _ in range(n_batches):
+        lens = rng.integers(1, MAX_LEN + 1, size=B)
+        seqs = [list(rng.integers(0, NUM_ITEMS, size=l)) for l in lens]
+        labels = list(rng.integers(0, NUM_ITEMS, size=B))
+        if cfg["model"] == "msgifsr":
+            d = builders.build_ccs_batch(seqs, labels, cfg["order"],
+                                         MAX_LEN, B)
+            out.append(CcsBatch(
+                levels=tuple(CcsLevel(**lv) for lv in d["levels"]),
+                inter_in=tuple(d["inter_in"]),
+                inter_out=tuple(d["inter_out"]),
+                labels=d["labels"], valid=d["valid"]))
+        elif cfg["model"] == "lessr":
+            d = builders.build_lessr_batch(seqs, labels, MAX_LEN, B)
+            out.append(LessrBatch(**d))
+        else:
+            d = builders.build_session_batch(seqs, labels, MAX_LEN, B)
+            out.append(SessionGraphBatch(**d))
+    return out
+
+
+def build_model(cfg, compute_dtype, table_dtype):
+    from sessionrec_tpu.models import LESSR, MSGIFSR, NISER
+    if cfg["model"] == "msgifsr":
+        return MSGIFSR(num_items=NUM_ITEMS, embedding_dim=cfg["dim"],
+                       num_layers=cfg["layers"], feat_drop=cfg["feat_drop"],
+                       order=cfg.get("order", 1),
+                       extra=cfg.get("extra", False),
+                       fusion=cfg.get("fusion", False),
+                       compute_dtype=compute_dtype, table_dtype=table_dtype)
+    if cfg["model"] == "lessr":
+        return LESSR(num_items=NUM_ITEMS, embedding_dim=cfg["dim"],
+                     num_layers=cfg["layers"], feat_drop=cfg["feat_drop"],
+                     compute_dtype=compute_dtype, table_dtype=table_dtype)
+    return NISER(num_items=NUM_ITEMS, embedding_dim=cfg["dim"],
+                 num_layers=cfg["layers"], feat_drop=cfg["feat_drop"],
+                 compute_dtype=compute_dtype, table_dtype=table_dtype)
+
+
+def run(name, compute_dtype="float32", quiet=False, profile_dir=None):
     import jax
     import jax.numpy as jnp
     from sessionrec_tpu.train.session import _enable_compile_cache
     _enable_compile_cache()   # bench recompiles are minutes via the tunnel
-    from sessionrec_tpu.models import MSGIFSR
     from sessionrec_tpu.train.optim import make_optimizer
     from sessionrec_tpu.train.runner import (make_unrolled_train_step,
                                              stack_batches)
 
+    cfg = CONFIGS[name]
     rng = np.random.default_rng(0)
-    model = MSGIFSR(num_items=NUM_ITEMS, embedding_dim=EMBED_DIM,
-                    num_layers=NUM_LAYERS, feat_drop=0.1, order=ORDER,
-                    compute_dtype=compute_dtype)
+    # bf16 runs use the full bf16 path: compute AND table storage
+    table_dtype = "bfloat16" if compute_dtype == "bfloat16" else "float32"
+    model = build_model(cfg, compute_dtype, table_dtype)
     params, state = model.init(jax.random.PRNGKey(0))
+    params = model.project_params(params)
     tx = make_optimizer(params, lr=1e-3, weight_decay=1e-4,
                         steps_per_epoch=1000)
     opt_state = tx.init(params)
     train_step = make_unrolled_train_step(model, tx, UNROLL)
 
-    chunk = jax.device_put(stack_batches(synthetic_batches(UNROLL, rng),
+    chunk = jax.device_put(stack_batches(synthetic_batches(cfg, UNROLL, rng),
                                          UNROLL))
     key = jax.random.PRNGKey(1)
+    B = cfg["batch"]
 
     # FLOPs/example model: XLA compiled-graph flops (excludes the Pallas
-    # custom call) + the fused CE kernel's analytic flops (fwd 2BDP +
-    # bwd 6BDP per optimizer step)
+    # custom call) + the fused CE kernel's analytic flops (fwd 2BKDP +
+    # bwd 6BKDP per optimizer step; K = number of score orders)
     flops_per_example = None
     try:
         rngs0 = jax.random.split(key, UNROLL)
@@ -106,8 +157,9 @@ def run(compute_dtype="float32", quiet=False, profile_dir=None):
             ca = ca[0]
         from sessionrec_tpu.ops.scoring import pad_catalog
         p_pad = pad_catalog(NUM_ITEMS)
-        pallas = 8.0 * EMBED_DIM * p_pad          # per example per step
-        flops_per_example = ca["flops"] / (UNROLL * BATCH) + pallas
+        k_orders = cfg.get("order", 1) if cfg["model"] == "msgifsr" else 1
+        pallas = 8.0 * cfg["dim"] * p_pad * k_orders   # per example per step
+        flops_per_example = ca["flops"] / (UNROLL * B) + pallas
     except Exception:
         pass
 
@@ -144,45 +196,66 @@ def run(compute_dtype="float32", quiet=False, profile_dir=None):
             hard_sync(loss)
             best_dt = min(best_dt, time.perf_counter() - t0)
 
-    eps = BENCH_CALLS * UNROLL * BATCH / best_dt
+    eps = BENCH_CALLS * UNROLL * B / best_dt
     mfu = (eps * flops_per_example / PEAK_FLOPS_BF16
            if flops_per_example else None)
     if not quiet:
-        print(f"{compute_dtype}: {eps:,.0f} examples/s"
-              + (f", MFU {mfu * 100:.1f}%" if mfu else ""))
+        print(f"{name} {compute_dtype}: {eps:,.0f} examples/s"
+              + (f", MFU {mfu * 100:.1f}%" if mfu else ""), flush=True)
     return eps, flops_per_example, mfu
 
 
-def main(profile_dir=None):
-    eps32, fpe, mfu32 = run("float32", quiet=True)
-    eps16, fpe16, mfu16 = run("bfloat16", quiet=True,
+def measure_config(name, profile_dir=None):
+    eps32, _, mfu32 = run(name, "float32", quiet=True)
+    eps16, fpe16, mfu16 = run(name, "bfloat16", quiet=True,
                               profile_dir=profile_dir)
-    print(json.dumps({
-        "metric": "MSGIFSR train throughput (yoochoose-1/4 scale, 1 chip, "
-                  "bf16)",
-        "value": round(eps16, 1),
-        "unit": "examples/sec/chip",
-        "vs_baseline": round(eps16 / BASELINE_EPS, 3),
+    return {
         "float32_eps": round(eps32, 1),
         "bfloat16_eps": round(eps16, 1),
         "flops_per_example": round(fpe16 or 0),
         "mfu_f32_pct": round((mfu32 or 0) * 100, 2),
         "mfu_bf16_pct": round((mfu16 or 0) * 100, 2),
-    }))
+    }
+
+
+def main(profile_dir=None, only=None):
+    names = [only] if only else list(CONFIGS)
+    results = {}
+    for name in names:
+        results[name] = measure_config(
+            name, profile_dir=profile_dir if name == "msgifsr-o1" else None)
+        print(f"# {name}: {json.dumps(results[name])}", flush=True)
+    head = results.get("msgifsr-o1") or next(iter(results.values()))
+    out = {
+        "metric": "MSGIFSR train throughput (yoochoose-1/4 scale, 1 chip, "
+                  "bf16 compute + bf16 table)",
+        "value": head["bfloat16_eps"],
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(head["bfloat16_eps"] / BASELINE_EPS, 3),
+        **head,
+        "configs": results,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
     import sys
     if "--compare" in sys.argv:
         for dt in ("float32", "bfloat16", "float32", "bfloat16"):
-            run(dt)
+            run("msgifsr-o1", dt)
     elif "--bf16" in sys.argv:
-        run("bfloat16")
+        run("msgifsr-o1", "bfloat16")
     elif "--f32" in sys.argv:
-        run("float32")
+        run("msgifsr-o1", "float32")
+    elif "--fast" in sys.argv:
+        main(only="msgifsr-o1")
     else:
         prof = None
         if "--profile" in sys.argv:
             i = sys.argv.index("--profile")
             prof = sys.argv[i + 1] if len(sys.argv) > i + 1 else "bench_trace"
-        main(profile_dir=prof)
+        only = None
+        if "--config" in sys.argv:
+            i = sys.argv.index("--config")
+            only = sys.argv[i + 1]
+        main(profile_dir=prof, only=only)

@@ -1,0 +1,201 @@
+"""Streamed full-catalog eval ranking — the [B, P] logits never exist.
+
+Training already streams the catalog through the fused CE kernels
+(ops/xent.py / ops/xent_multi.py); evaluation previously materialised
+``log_softmax(sr @ table^T)`` — ~77 MB per eval batch at yoochoose-1/4
+scale — only to take its top-20 (reference: train.py:45-53).  This
+module computes exactly the same label ranks while walking the catalog
+in ``[TILE, D]`` slabs under ``lax.scan``: per slab the logits tile is
+reduced to its local top-k and merged into a running candidate set, so
+peak memory is ``[B, TILE]``.
+
+Written as plain XLA (scan + dot + top_k) rather than a Pallas kernel
+on purpose: the slab matmul already runs at MXU speed, `lax.top_k` over
+a slab is tiny, and XLA fuses the masking/softmax arithmetic into the
+matmul epilogue — a custom kernel would add Mosaic risk for no
+roofline headroom (cf. the fused-GAT postmortem in BENCH_NOTES.md).
+
+Tie semantics match the materialised path exactly: ``lax.top_k`` is
+stable (lowest index first), per-slab candidates inherit that, and the
+merge concatenates earlier (lower-index) candidates before later ones,
+so equal scores resolve to the lowest global index — identical to one
+global ``lax.top_k``.
+
+The multi-order path replicates MSGIFSR's REnorm/fusion scoring
+(msgifsr.py:283-317, scoring.masked_catalog_softmax): one streaming
+pass accumulates the per-(example, order, split) online max / sum-exp,
+a second pass forms the blended scores slab by slab and merges top-k.
+Ranks are computed on the raw blended score — the materialised path's
+final ``log(clamp(score, 1e-30))`` is monotonic above the clamp, and a
+top-20 score below 1e-30 cannot occur (the max softmax entry is
+>= 1/P).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sessionrec_tpu.ops.masked import NEG_INF
+
+TILE = 2048
+
+
+def _l2norm_f32(x, eps=1e-12):
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+    return x / jnp.maximum(n, eps).astype(x.dtype)
+
+
+def _pad_table(table, tile):
+    P = table.shape[0]
+    pad = (-P) % tile
+    if pad:
+        table = jnp.concatenate(
+            [table, jnp.zeros((pad, table.shape[1]), table.dtype)], 0)
+    return table, P + pad
+
+
+def _merge_topk(vals, idxs, tv, ti, k):
+    """Merge running candidates with a slab's top-k.  Running candidates
+    (earlier slabs = lower global indices) are concatenated FIRST so
+    stable top_k keeps lowest-index winners on ties."""
+    mv, mpos = jax.lax.top_k(jnp.concatenate([vals, tv], axis=1), k)
+    midx = jnp.take_along_axis(jnp.concatenate([idxs, ti], axis=1), mpos,
+                               axis=1)
+    return mv, midx
+
+
+def _ranks_of(labels, idxs, vals):
+    hit = (idxs == labels[:, None]) & (vals > NEG_INF * 0.5)
+    rank = jnp.argmax(hit, axis=-1) + 1
+    return jnp.where(jnp.any(hit, axis=-1), rank, 0)
+
+
+def streamed_topk_ranks(sr, table, labels, *, num_items, k=20, scale=1.0,
+                        normalize_table=False, compute_dtype=None,
+                        tile=TILE):
+    """Label ranks (1-based within top-k, else 0) for the plain head:
+    ``rank within top_k(scale * sr @ norm?(table)^T)``.  Equals
+    ``scoring.topk_ranks(model.apply(...))`` for every plain-head model
+    (log_softmax is rank-preserving)."""
+    B = sr.shape[0]
+    table, P = _pad_table(table, tile)
+    n_tiles = P // tile
+    sr_c = sr.astype(compute_dtype) if compute_dtype is not None else sr
+
+    def body(carry, i):
+        vals, idxs = carry
+        tab = jax.lax.dynamic_slice_in_dim(table, i * tile, tile)
+        if normalize_table:
+            tab = _l2norm_f32(tab)
+        tab_c = tab.astype(compute_dtype) if compute_dtype is not None \
+            else tab
+        lo = scale * jax.lax.dot_general(
+            sr_c, tab_c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [B, T]
+        col = i * tile + jnp.arange(tile)
+        lo = jnp.where(col[None, :] < num_items, lo, NEG_INF)
+        tv, ti = jax.lax.top_k(lo, k)
+        carry = _merge_topk(vals, idxs, tv, ti + i * tile, k)
+        return carry, None
+
+    init = (jnp.full((B, k), NEG_INF, jnp.float32),
+            jnp.zeros((B, k), jnp.int32))
+    (vals, idxs), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
+    return _ranks_of(labels, idxs, vals)
+
+
+def streamed_multi_topk_ranks(sr, table, labels, iids, phi, alpha, *,
+                              num_items, extra, fusion, k=20, scale=12.0,
+                              normalize_table=True, compute_dtype=None,
+                              tile=TILE):
+    """Label ranks for MSGIFSR's REnorm/fusion head (msgifsr.py:283-317)
+    without materialising ``[B, K, P]`` scores.
+
+    Inputs mirror ``model.head_multi``: ``sr [B, K, d]``, raw ``table``,
+    ``phi [B, K, 2]`` or None, ``alpha [K]``, ``iids [B, N]`` level-1
+    session items with -1 padding.
+    """
+    B, K, _ = sr.shape
+    table, P = _pad_table(table, tile)
+    n_tiles = P // tile
+    sr_c = sr.astype(compute_dtype) if compute_dtype is not None else sr
+    n_parts = 2 if extra else 1
+
+    def slab_logits(i):
+        tab = jax.lax.dynamic_slice_in_dim(table, i * tile, tile)
+        if normalize_table:
+            tab = _l2norm_f32(tab)
+        tab_c = tab.astype(compute_dtype) if compute_dtype is not None \
+            else tab
+        lo = scale * jax.lax.dot_general(
+            sr_c, tab_c, dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [B, K, T]
+        col = i * tile + jnp.arange(tile)
+        imask = (col < num_items)[None, :]                 # [1, T]
+        return lo, col, imask
+
+    def part_masks(col, imask):
+        """[B, T] masks per part: (in-session, out-of-session) when
+        ``extra`` else (all real items,)."""
+        if not extra:
+            return (jnp.broadcast_to(imask, (B, col.shape[0])),)
+        ins = jnp.any(iids[:, :, None] == col[None, None, :], axis=1)
+        return (ins & imask, (~ins) & imask)
+
+    # pass 1: online max / sum-exp per (example, order, part)
+    def lse_body(carry, i):
+        ms, ss = carry                                     # [parts, B, K]
+        lo, col, imask = slab_logits(i)
+        new_ms, new_ss = [], []
+        for p_i, pmask in enumerate(part_masks(col, imask)):
+            x = jnp.where(pmask[:, None, :], lo, NEG_INF)  # [B, K, T]
+            m_tile = jnp.max(x, axis=-1)
+            m_new = jnp.maximum(ms[p_i], m_tile)
+            # guard exp under all-masked rows (m_new = NEG_INF)
+            m_safe = jnp.maximum(m_new, NEG_INF * 0.5)
+            ex = jnp.where(pmask[:, None, :],
+                           jnp.exp(x - m_safe[..., None]), 0.0)
+            s_new = ss[p_i] * jnp.exp(
+                jnp.maximum(ms[p_i], NEG_INF * 0.5) - m_safe) \
+                + jnp.sum(ex, axis=-1)
+            new_ms.append(m_new)
+            new_ss.append(s_new)
+        return (jnp.stack(new_ms), jnp.stack(new_ss)), None
+
+    init = (jnp.full((n_parts, B, K), NEG_INF, jnp.float32),
+            jnp.zeros((n_parts, B, K), jnp.float32))
+    (ms, ss), _ = jax.lax.scan(lse_body, init, jnp.arange(n_tiles))
+    m_safe = jnp.maximum(ms, NEG_INF * 0.5)                # [parts, B, K]
+    denom = jnp.maximum(ss, jnp.finfo(jnp.float32).tiny)
+
+    if fusion and K > 1:
+        w = jax.nn.softmax(alpha.astype(jnp.float32))      # [K]
+    else:
+        w = jnp.zeros((K,), jnp.float32).at[0].set(1.0)    # score[:, 0]
+
+    # pass 2: blended score per slab + running top-k merge
+    def score_body(carry, i):
+        vals, idxs = carry
+        lo, col, imask = slab_logits(i)
+        score = jnp.zeros(lo.shape, jnp.float32)
+        for p_i, pmask in enumerate(part_masks(col, imask)):
+            part = jnp.where(pmask[:, None, :],
+                             jnp.exp(jnp.where(pmask[:, None, :], lo,
+                                               NEG_INF)
+                                     - m_safe[p_i][..., None]), 0.0) \
+                / denom[p_i][..., None]
+            gate = phi[..., p_i:p_i + 1] if extra else 1.0
+            score = score + gate * part
+        fused = jnp.einsum("bkt,k->bt", score, w)
+        fused = jnp.where(imask, fused, NEG_INF)           # padded items out
+        tv, ti = jax.lax.top_k(fused, k)
+        carry = _merge_topk(vals, idxs, tv, ti + i * tile, k)
+        return carry, None
+
+    init = (jnp.full((B, k), NEG_INF, jnp.float32),
+            jnp.zeros((B, k), jnp.int32))
+    (vals, idxs), _ = jax.lax.scan(score_body, init, jnp.arange(n_tiles))
+    return _ranks_of(labels, idxs, vals)

@@ -203,14 +203,46 @@ def make_unrolled_train_step(model, tx, unroll: int, *, fused=True,
     return jax.jit(multi_step, donate_argnums=(0, 1, 2))
 
 
-def make_eval_step(model, cutoff=20):
+def _eval_ranks(model, params, state, batch, cutoff, streamed=True):
+    """Label ranks for one eval batch.
+
+    ``streamed=True`` (single-chip default) walks the catalog in slabs
+    (ops/streamed_eval.py) so the ``[B, P]`` log-probs the reference
+    materialises at train.py:45-53 never exist — the eval-side
+    counterpart of the fused training CE.  Falls back to the
+    materialised path for models without a head contract.
+    """
+    if streamed and getattr(model, "has_plain_head", False):
+        from sessionrec_tpu.ops.streamed_eval import streamed_topk_ranks
+        sr, table, _ = model.head(params, state, batch, training=False,
+                                  rng=None)
+        return streamed_topk_ranks(
+            sr, table, batch.labels, num_items=model.num_items, k=cutoff,
+            scale=float(model.scale) if model.scale else 1.0,
+            normalize_table=getattr(model, "table_norm", False),
+            compute_dtype=model.cdt)
+    if streamed and getattr(model, "has_multi_head", False):
+        from sessionrec_tpu.ops.streamed_eval import \
+            streamed_multi_topk_ranks
+        sr, table, phi, alpha, iids, _ = model.head_multi(
+            params, state, batch, training=False, rng=None)
+        return streamed_multi_topk_ranks(
+            sr, table, batch.labels, iids, phi, alpha,
+            num_items=model.num_items, extra=model.extra,
+            fusion=model.fusion, k=cutoff, scale=float(model.scale),
+            normalize_table=getattr(model, "table_norm", False),
+            compute_dtype=model.cdt)
+    log_probs, _ = model.apply(params, state, batch, training=False,
+                               rng=None)
+    return scoring.topk_ranks(log_probs, batch.labels, cutoff)
+
+
+def make_eval_step(model, cutoff=20, streamed=True):
     """Jitted eval step -> (hit_count, mrr_sum, num_valid) per batch."""
 
     def eval_step(params, state, batch):
         params = model.project_params(params)
-        log_probs, _ = model.apply(params, state, batch, training=False,
-                                   rng=None)
-        ranks = scoring.topk_ranks(log_probs, batch.labels, cutoff)
+        ranks = _eval_ranks(model, params, state, batch, cutoff, streamed)
         v = batch.valid
         hit = jnp.sum((ranks > 0) * v)
         mrr = jnp.sum(jnp.where(ranks > 0, 1.0 / jnp.maximum(ranks, 1), 0.0)
@@ -220,7 +252,7 @@ def make_eval_step(model, cutoff=20):
     return jax.jit(eval_step)
 
 
-def make_unrolled_eval_step(model, cutoff=20, project=True):
+def make_unrolled_eval_step(model, cutoff=20, project=True, streamed=True):
     """Jitted scan over a stacked chunk of eval batches -> summed
     (hit_count, mrr_sum, num_valid).  Padded all-invalid batches
     contribute zero.  ``project=False`` when the caller pre-projects the
@@ -232,9 +264,8 @@ def make_unrolled_eval_step(model, cutoff=20, project=True):
             params = model.project_params(params)
 
         def one(carry, batch):
-            log_probs, _ = model.apply(params, state, batch, training=False,
-                                       rng=None)
-            ranks = scoring.topk_ranks(log_probs, batch.labels, cutoff)
+            ranks = _eval_ranks(model, params, state, batch, cutoff,
+                                streamed)
             v = batch.valid
             hit = jnp.sum((ranks > 0) * v)
             mrr = jnp.sum(jnp.where(ranks > 0,
