@@ -36,6 +36,12 @@ CONFIGS = [
     # WSDM'22 headline configuration: REnorm + IFR fusion.
     ("msgifsr-o3-extra-fusion", "msgifsr",
      ["--order", "3", "--extra", "--fusion"]),
+    # JAX side of the torch-replica anchor (scripts/run_torch_anchor.py
+    # ANCHORS["msgifsr-anchor"]): scaled so the 2-CPU torch side can
+    # train it; flags must stay in lock-step with that file.
+    ("msgifsr-anchor", "msgifsr",
+     ["--order", "2", "--extra", "--fusion", "--embedding-dim", "64",
+      "--batch-size", "128"]),
 ]
 
 SEEDS = [123, 223, 323]

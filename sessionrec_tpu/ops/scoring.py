@@ -30,6 +30,14 @@ def pad_catalog(num_items: int, multiple: int = 512) -> int:
     128-padding cost a full-table pad copy before the kernel and a
     slice+add after its gradient on *every* training step (~220us/step
     at yoochoose-1/4 scale, ~5% of the step).
+
+    NOTE: changing this multiple changes ``padded_items`` and therefore
+    the embedding-table / optimizer-state shapes — checkpoints written
+    under a different multiple will not restore against the new shape
+    template (orbax restores by shape).  The 128 -> 512 change landed in
+    round 2 before any long-lived checkpoints existed; migrate older
+    ones by padding/slicing the table and moment rows to the new
+    ``pad_catalog(num_items)``.
     """
     return ((num_items + multiple - 1) // multiple) * multiple
 

@@ -38,10 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sessionrec_tpu.ops.masked import NEG_INF
 
-# Catalog tile streamed per grid step.  The padded catalog must be a
-# multiple of this (scoring.pad_catalog pads to LANE=128; the wrapper
-# re-pads the table to TILE_P here, which costs at most TILE_P-128 zero
-# rows that are masked out of the softmax anyway).
+# Catalog tile streamed per grid step.  scoring.pad_catalog allocates
+# the table at a multiple of TILE_P so the kernel consumes it directly
+# (a smaller 128-multiple allocation cost a full-table pad copy before
+# the kernel and a slice+add after its gradient, ~220us/step measured);
+# the wrapper still re-pads defensively for tables of other sizes.
 TILE_P = 512
 _LANE = 128
 

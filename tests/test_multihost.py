@@ -40,11 +40,12 @@ def _final_metrics(stdout: str):
     return float(m.group(1)), float(m.group(2))
 
 
-def _run_workers(nproc, ndev, extra):
+def _run_workers(nproc, ndev, extra, base_flags=None):
     port = str(_free_port())
+    base = TRAIN_FLAGS if base_flags is None else base_flags
     procs = [subprocess.Popen(
         [sys.executable, str(WORKER), port, str(pid), str(nproc), str(ndev),
-         *TRAIN_FLAGS, *extra],
+         *base, *extra],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, cwd=REPO, text=True)
         for pid in range(nproc)]
     outs = []
@@ -68,5 +69,29 @@ def test_two_process_matches_single_process(dp, mp):
     assert np.isclose(mrr_m, mrr_s, atol=2e-3), (mrr_m, mrr_s)
     assert np.isclose(hit_m, hit_s, atol=2e-3), (hit_m, hit_s)
     # the secondary must agree with the primary (replicated eval)
+    mrr_1, hit_1 = _final_metrics(multi[1])
+    assert (mrr_1, hit_1) == (mrr_m, hit_m)
+
+
+# VERDICT r2 item 7: the fused multi-order mesh loss
+# (parallel/sharded.py:_fused_multi_mesh_fwd/bwd) under REAL process
+# boundaries — its collective merges (psum of per-shard REnorm stats
+# over the model axis) are exercised nowhere else multi-process.
+MSGIFSR_FLAGS = ["--model", "msgifsr", "--order", "2", "--extra",
+                 "--fusion", "--dataset-dir", str(SAMPLE),
+                 "--embedding-dim", "16", "--num-layers", "1",
+                 "--epochs", "1", "--max-epoch-batches", "4",
+                 "--batch-size", "64", "--log-interval", "1000000",
+                 "--unroll", "2"]
+
+
+def test_two_process_msgifsr_renorm_fusion():
+    extra = ["--data-parallel", "4", "--model-parallel", "2"]
+    single = _run_workers(1, 8, extra, MSGIFSR_FLAGS)[0]
+    multi = _run_workers(2, 4, extra, MSGIFSR_FLAGS)
+    mrr_s, hit_s = _final_metrics(single)
+    mrr_m, hit_m = _final_metrics(multi[0])
+    assert np.isclose(mrr_m, mrr_s, atol=2e-3), (mrr_m, mrr_s)
+    assert np.isclose(hit_m, hit_s, atol=2e-3), (hit_m, hit_s)
     mrr_1, hit_1 = _final_metrics(multi[1])
     assert (mrr_1, hit_1) == (mrr_m, hit_m)
