@@ -149,6 +149,7 @@ def run(name, compute_dtype="float32", quiet=False, profile_dir=None):
     # custom call) + the fused CE kernel's analytic flops (fwd 2BKDP +
     # bwd 6BKDP per optimizer step; K = number of score orders)
     flops_per_example = None
+    bytes_per_step = None
     try:
         rngs0 = jax.random.split(key, UNROLL)
         ca = train_step.lower(params, state, opt_state, chunk,
@@ -160,6 +161,11 @@ def run(name, compute_dtype="float32", quiet=False, profile_dir=None):
         k_orders = cfg.get("order", 1) if cfg["model"] == "msgifsr" else 1
         pallas = 8.0 * cfg["dim"] * p_pad * k_orders   # per example per step
         flops_per_example = ca["flops"] / (UNROLL * B) + pallas
+        # XLA's HBM-traffic estimate per optimizer step (excludes the
+        # Pallas custom calls) — records the table/moment-traffic effect
+        # of table_dtype=bfloat16
+        if "bytes accessed" in ca:
+            bytes_per_step = ca["bytes accessed"] / UNROLL
     except Exception:
         pass
 
@@ -202,19 +208,21 @@ def run(name, compute_dtype="float32", quiet=False, profile_dir=None):
     if not quiet:
         print(f"{name} {compute_dtype}: {eps:,.0f} examples/s"
               + (f", MFU {mfu * 100:.1f}%" if mfu else ""), flush=True)
-    return eps, flops_per_example, mfu
+    return eps, flops_per_example, mfu, bytes_per_step
 
 
 def measure_config(name, profile_dir=None):
-    eps32, _, mfu32 = run(name, "float32", quiet=True)
-    eps16, fpe16, mfu16 = run(name, "bfloat16", quiet=True,
-                              profile_dir=profile_dir)
+    eps32, _, mfu32, bytes32 = run(name, "float32", quiet=True)
+    eps16, fpe16, mfu16, bytes16 = run(name, "bfloat16", quiet=True,
+                                       profile_dir=profile_dir)
     return {
         "float32_eps": round(eps32, 1),
         "bfloat16_eps": round(eps16, 1),
         "flops_per_example": round(fpe16 or 0),
         "mfu_f32_pct": round((mfu32 or 0) * 100, 2),
         "mfu_bf16_pct": round((mfu16 or 0) * 100, 2),
+        "hbm_bytes_per_step_f32": round(bytes32 or 0),
+        "hbm_bytes_per_step_bf16": round(bytes16 or 0),
     }
 
 

@@ -83,6 +83,21 @@ def one_conv_bigmat(p, hd, a_adj, rng):
     return rst + hd[:, :, None, :] + p["bias"].reshape(1, 1, H, F)
 
 
+def one_conv_headmajor(p, hd, a_adj, rng):
+    """Attention tensors laid out [B, H, s, d] (head next to batch) so the
+    minor dims are (s, d) = (20, 20) instead of (d, H) = (20, 8) — less
+    lane-padding waste in the elementwise soup."""
+    fs, el, er = conv_logits(p, hd)
+    elh = jnp.transpose(el, (0, 2, 1))                    # [B, H, s]
+    erh = jnp.transpose(er, (0, 2, 1))                    # [B, H, d]
+    e = jax.nn.leaky_relu(elh[:, :, :, None] + erh[:, :, None, :], 0.2)
+    a = masked_softmax(e, a_adj[:, None, :, :], axis=2)   # [B, H, s, d]
+    a = dropout(rng, a, DROP, True)
+    fsh = jnp.transpose(fs, (0, 2, 1, 3))                 # [B, H, s, F]
+    rst = jnp.einsum("bhsd,bhsf->bdhf", a, fsh)
+    return rst + hd[:, :, None, :] + p["bias"].reshape(1, 1, H, F)
+
+
 def make_pair(one_conv):
     def pair(p1, p2, f, key):
         rng = RngGen(key)
@@ -134,4 +149,5 @@ if __name__ == "__main__":
     bench("dense", make_pair(one_conv_dense))
     bench("vpu", make_pair(one_conv_vpu))
     bench("perhead", make_pair(one_conv_bigmat))
+    bench("headmajor", make_pair(one_conv_headmajor))
     bench("ref2", ref_pair)

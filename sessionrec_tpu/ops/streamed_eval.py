@@ -1,13 +1,21 @@
 """Streamed full-catalog eval ranking — the [B, P] logits never exist.
 
 Training already streams the catalog through the fused CE kernels
-(ops/xent.py / ops/xent_multi.py); evaluation previously materialised
+(ops/xent.py / ops/xent_multi.py); evaluation materialises
 ``log_softmax(sr @ table^T)`` — ~77 MB per eval batch at yoochoose-1/4
 scale — only to take its top-20 (reference: train.py:45-53).  This
 module computes exactly the same label ranks while walking the catalog
 in ``[TILE, D]`` slabs under ``lax.scan``: per slab the logits tile is
 reduced to its local top-k and merged into a running candidate set, so
 peak memory is ``[B, TILE]``.
+
+Role (measured, scripts/probe_eval.py on TPU v5e): at yoochoose-1/4
+scale the materialised path is 4.3x FASTER (3.6 vs 15.1 ms per
+B=512 eval batch) — one large top-k sort beats ~19 sequential per-slab
+top-k merges.  Streaming therefore engages only when the ``[B, P]``
+logits tensor itself becomes the problem (runner auto-switches above
+~128M logits elements, i.e. catalogs of ~1M items at B=512 — the
+regime a production catalog actually lives in).
 
 Written as plain XLA (scan + dot + top_k) rather than a Pallas kernel
 on purpose: the slab matmul already runs at MXU speed, `lax.top_k` over

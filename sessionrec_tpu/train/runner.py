@@ -203,15 +203,30 @@ def make_unrolled_train_step(model, tx, unroll: int, *, fused=True,
     return jax.jit(multi_step, donate_argnums=(0, 1, 2))
 
 
-def _eval_ranks(model, params, state, batch, cutoff, streamed=True):
+# Auto-streaming threshold: materialise [B, P] logits only while they
+# stay under ~512 MB f32.  Measured on TPU v5e at yoochoose-1/4 scale
+# (B=512, P=37.5k, scripts/probe_eval.py): the materialised path is
+# 4.3x FASTER (3.6 vs 15.1 ms/eval batch) — one large top-k sort beats
+# 19 sequential per-slab top-k merges under lax.scan.  Streaming is for
+# the catalog regime where [B, P] itself is the problem (>= ~1M items
+# at B=512), not a speed optimisation below it.
+_STREAM_EVAL_ELEMS = 128 * 1024 * 1024
+
+
+def _eval_ranks(model, params, state, batch, cutoff, streamed=None):
     """Label ranks for one eval batch.
 
-    ``streamed=True`` (single-chip default) walks the catalog in slabs
-    (ops/streamed_eval.py) so the ``[B, P]`` log-probs the reference
-    materialises at train.py:45-53 never exist — the eval-side
-    counterpart of the fused training CE.  Falls back to the
-    materialised path for models without a head contract.
+    ``streamed``: None (default) auto-selects — the materialised
+    log-probs path below ``_STREAM_EVAL_ELEMS`` logits elements, the
+    slab-streamed path (ops/streamed_eval.py) above it, where the
+    ``[B, P]`` tensor the reference materialises at train.py:45-53
+    stops fitting comfortably.  Both paths produce identical ranks
+    (tests/test_streamed_eval.py).
     """
+    if streamed is None:
+        B = batch.labels.shape[0]
+        streamed = B * getattr(model, "padded_items", 0) \
+            >= _STREAM_EVAL_ELEMS
     if streamed and getattr(model, "has_plain_head", False):
         from sessionrec_tpu.ops.streamed_eval import streamed_topk_ranks
         sr, table, _ = model.head(params, state, batch, training=False,
@@ -237,7 +252,7 @@ def _eval_ranks(model, params, state, batch, cutoff, streamed=True):
     return scoring.topk_ranks(log_probs, batch.labels, cutoff)
 
 
-def make_eval_step(model, cutoff=20, streamed=True):
+def make_eval_step(model, cutoff=20, streamed=None):
     """Jitted eval step -> (hit_count, mrr_sum, num_valid) per batch."""
 
     def eval_step(params, state, batch):
@@ -252,7 +267,8 @@ def make_eval_step(model, cutoff=20, streamed=True):
     return jax.jit(eval_step)
 
 
-def make_unrolled_eval_step(model, cutoff=20, project=True, streamed=True):
+def make_unrolled_eval_step(model, cutoff=20, project=True,
+                            streamed=None):
     """Jitted scan over a stacked chunk of eval batches -> summed
     (hit_count, mrr_sum, num_valid).  Padded all-invalid batches
     contribute zero.  ``project=False`` when the caller pre-projects the
