@@ -67,6 +67,11 @@ CONFIGS = {
     # WSDM'22 paper configuration (msgifsr.py:283-317 REnorm + fusion)
     "msgifsr-o3-paper": dict(model="msgifsr", batch=512, dim=256, layers=1,
                              feat_drop=0.1, order=3, extra=True, fusion=True),
+    # throughput mode: same model, 4x batch — amortises the per-step
+    # full-table optimizer pass over 4x the examples (the reference is
+    # locked to 512 by GPU memory; a v5e chip is not)
+    "msgifsr-o1-b2048": dict(model="msgifsr", batch=2048, dim=256, layers=1,
+                             feat_drop=0.1, order=1),
     # main_lessr.py defaults: dim 32, 3 layers, drop 0.2, bs 512
     "lessr": dict(model="lessr", batch=512, dim=32, layers=3, feat_drop=0.2),
     # main_niser.py defaults: dim 64, 2 layers, drop 0.5, bs 128

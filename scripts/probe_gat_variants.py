@@ -9,8 +9,11 @@ fastest XLA-level structure before (or instead of) a Pallas kernel.
 Run: python scripts/probe_gat_variants.py [--no-dropout]
 """
 
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

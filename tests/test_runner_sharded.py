@@ -86,3 +86,28 @@ def test_run_training_builds_mesh(tmp_path):
     mrr, hit = run_training(cfg, max_epoch_batches=6)
     assert np.isfinite(mrr) and np.isfinite(hit)
     assert (tmp_path / "m.jsonl").exists()
+
+
+def test_mesh_runner_bf16_table():
+    """bf16 table + stochastic-rounded updates under the (data, model)
+    mesh: the ZeRO-sharded Adam moments and the SR update path must
+    compose with GSPMD (the SR hash is elementwise, so it partitions).
+    Metrics must stay finite and the table must stay bf16 + row-sharded."""
+    import jax.numpy as jnp
+    from sessionrec_tpu.models import NISER
+    from sessionrec_tpu.parallel.mesh import make_mesh
+    from sessionrec_tpu.train.runner import TrainRunner
+
+    tl, el, num_items = _loaders()
+    model = NISER(num_items=num_items, embedding_dim=32, num_layers=1,
+                  feat_drop=0.0, table_dtype="bfloat16")
+    runner = TrainRunner(model, tl, el, lr=1e-3, weight_decay=1e-4,
+                         patience=10, eval_before_train=False, unroll=4,
+                         mesh=make_mesh(data=4, model=2), seed=7)
+    mrr, hit = runner.train(1, log_interval=10 ** 9)
+    assert np.isfinite([mrr, hit]).all()
+    assert hit > 0
+    emb = runner.params["embedding"]
+    assert emb.dtype == jnp.bfloat16
+    # still row-sharded over the model axis
+    assert emb.sharding.shard_shape(emb.shape)[0] == emb.shape[0] // 2
