@@ -101,6 +101,30 @@ def one_conv_headmajor(p, hd, a_adj, rng):
     return rst + hd[:, :, None, :] + p["bias"].reshape(1, 1, H, F)
 
 
+def stacked_pair(p1, p2, f, key):
+    """Both direction convs computed as ONE set of double-width ops: the
+    [2, ...]-stacked tensors halve the op count of the attention soup
+    (one masked softmax / dropout / einsum at 2x width instead of two)."""
+    rng = RngGen(key)
+    hd1 = dropout(rng, f, DROP, True)
+    hd2 = dropout(rng, f, DROP, True)
+    hds = jnp.stack([hd1, hd2])                           # [2, B, N, D]
+    fcs = jnp.stack([p1["fc"], p2["fc"]])                 # [2, H*F, D]
+    fs = jnp.einsum("cbnd,cfd->cbnf", hds, fcs).reshape(2, B, N, H, F)
+    al = jnp.stack([p1["attn_l"], p2["attn_l"]]).reshape(2, 1, 1, H, F)
+    ar = jnp.stack([p1["attn_r"], p2["attn_r"]]).reshape(2, 1, 1, H, F)
+    el = jnp.sum(fs * al, axis=-1)                        # [2, B, N, H]
+    er = jnp.sum(fs * ar, axis=-1)
+    adjs = jnp.stack([adj, jnp.swapaxes(adj, 1, 2)])      # [2, B, N, N]
+    e = jax.nn.leaky_relu(el[:, :, :, None, :] + er[:, :, None, :, :], 0.2)
+    a = masked_softmax(e, adjs[..., None], axis=2)
+    a = dropout(rng, a, DROP, True)
+    rst = jnp.einsum("cbsdh,cbshf->cbdhf", a, fs)
+    bias = jnp.stack([p1["bias"], p2["bias"]]).reshape(2, 1, 1, H, F)
+    acc = jnp.sum(rst + hds[:, :, :, None, :] + bias, axis=0)
+    return jnp.max(acc, axis=2)
+
+
 def make_pair(one_conv):
     def pair(p1, p2, f, key):
         rng = RngGen(key)
@@ -153,4 +177,5 @@ if __name__ == "__main__":
     bench("vpu", make_pair(one_conv_vpu))
     bench("perhead", make_pair(one_conv_bigmat))
     bench("headmajor", make_pair(one_conv_headmajor))
+    bench("stacked", stacked_pair)
     bench("ref2", ref_pair)

@@ -26,7 +26,7 @@ def render(groups):
                  "wall-clock/run |")
     lines.append("|---|---|---|---|---|---|")
     order = ["srgnn", "niser", "lessr", "msgifsr-o1", "msgifsr-o3",
-             "msgifsr-o3-extra-fusion"]
+             "msgifsr-o3-extra-fusion", "msgifsr-anchor"]
     keys = sorted(groups, key=lambda k: (order.index(k[0])
                                          if k[0] in order else 99, k[1]))
     for name, ds in keys:
@@ -43,6 +43,39 @@ def render(groups):
     return "\n".join(lines)
 
 
+def render_anchor(jax_groups, torch_path):
+    """JAX-vs-torch-replica table for the anchor configs
+    (scripts/run_torch_anchor.py records the torch side)."""
+    tg = defaultdict(list)
+    for line in torch_path.read_text().splitlines():
+        r = json.loads(line)
+        tg[r["name"]].append(r)
+    jmap = {"niser": "niser", "lessr": "lessr",
+            "msgifsr-anchor": "msgifsr-anchor"}
+    lines = ["| config | stack | seeds | MRR@20 | HR@20 |",
+             "|---|---|---|---|---|"]
+    for tname in ("niser", "lessr", "msgifsr-anchor"):
+        rows = []
+        jrs = [r for (n, _), g in jax_groups.items() if n == jmap[tname]
+               for r in g]
+        if jrs:
+            rows.append(("jax (this framework)", jrs))
+        if tg.get(tname):
+            rows.append(("torch replica (reference protocol)", tg[tname]))
+        for stack, rs in rows:
+            mrr = np.array([r["mrr20"] for r in rs])
+            hr = np.array([r["hr20"] for r in rs])
+            lines.append(
+                f"| {tname} | {stack} | {len(rs)} "
+                f"| {mrr.mean():.2f}% ± {mrr.max() - mrr.min():.2f} "
+                f"| {hr.mean():.2f}% ± {hr.max() - hr.min():.2f} |")
+    return "\n".join(lines)
+
+
 if __name__ == "__main__":
     groups = load(REPO / "results" / "results.jsonl")
     print(render(groups))
+    anchor_path = REPO / "results" / "torch_anchor.jsonl"
+    if anchor_path.exists():
+        print()
+        print(render_anchor(groups, anchor_path))
