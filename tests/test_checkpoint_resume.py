@@ -25,7 +25,7 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(SAMPLE_DIR),
                                 reason="sample dataset not present")
 
 
-def _make_runner(ckpt_dir=None, shuffle=True):
+def _make_runner(ckpt_dir=None, shuffle=True, table_dtype="float32"):
     from sessionrec_tpu.data.io import read_dataset
     from sessionrec_tpu.data.loader import BatchLoader
     from sessionrec_tpu.models import build_model
@@ -34,6 +34,7 @@ def _make_runner(ckpt_dir=None, shuffle=True):
     from sessionrec_tpu.utils.config import preset
 
     cfg = preset("niser", embedding_dim=16, num_layers=1)
+    cfg.model.table_dtype = table_dtype
     train_sessions, test_sessions, num_items = read_dataset(SAMPLE_DIR)
     tl = BatchLoader(train_sessions[:400], "session", 128, 20,
                      shuffle=shuffle, seed=7)
@@ -50,15 +51,17 @@ def _flat(params):
                            for x in jax.tree_util.tree_leaves(params)])
 
 
-def test_resume_reproduces_uninterrupted_run(tmp_path):
-    # uninterrupted: 4 epochs straight through
-    r_full = _make_runner(tmp_path / "full")
+@pytest.mark.parametrize("table_dtype", ["float32", "bfloat16"])
+def test_resume_reproduces_uninterrupted_run(tmp_path, table_dtype):
+    # bfloat16: the stochastic-rounding seed folds out of the step PRNG
+    # key, so a resumed run must replay the exact rounding decisions
+    r_full = _make_runner(tmp_path / "full", table_dtype=table_dtype)
     mrr_full, hit_full = r_full.train(4, log_interval=10 ** 9)
 
     # interrupted: 2 epochs, new process (fresh runner), resume, 2 more
-    r_a = _make_runner(tmp_path / "ab")
+    r_a = _make_runner(tmp_path / "ab", table_dtype=table_dtype)
     r_a.train(2, log_interval=10 ** 9)
-    r_b = _make_runner(tmp_path / "ab")
+    r_b = _make_runner(tmp_path / "ab", table_dtype=table_dtype)
     assert r_b.checkpointer.restore_latest(r_b)
     assert r_b.epoch == 2
     mrr_b, hit_b = r_b.train(4, log_interval=10 ** 9)
