@@ -143,7 +143,10 @@ def run(name, compute_dtype="float32", quiet=False, profile_dir=None):
     tx = make_optimizer(params, lr=1e-3, weight_decay=1e-4,
                         steps_per_epoch=1000)
     opt_state = tx.init(params)
-    train_step = make_unrolled_train_step(model, tx, UNROLL)
+    # synthetic batches are all-valid full chunks -> cond-free fast step
+    # (the TrainRunner uses the same step for every non-tail chunk)
+    train_step = make_unrolled_train_step(model, tx, UNROLL,
+                                          assume_valid=True)
 
     chunk = jax.device_put(stack_batches(synthetic_batches(cfg, UNROLL, rng),
                                          UNROLL))

@@ -154,7 +154,7 @@ def make_train_step(model, tx, *, fused=True, mesh=None):
 
 
 def make_unrolled_train_step(model, tx, unroll: int, *, fused=True,
-                             mesh=None):
+                             mesh=None, assume_valid=False):
     """Device-side training loop: one jitted call runs ``unroll``
     sequential optimizer steps via ``lax.scan`` over a stacked chunk of
     batches.
@@ -169,6 +169,9 @@ def make_unrolled_train_step(model, tx, unroll: int, *, fused=True,
     A chunk's tail may be padded with all-invalid batches (epoch end);
     those steps are skipped entirely under ``lax.cond`` so weight decay
     and the LR schedule's step count see exactly the real batches.
+    ``assume_valid=True`` compiles without the cond for chunks the
+    caller guarantees contain no padded batches (every chunk but an
+    epoch's last) — identical math on such chunks.
     """
     def one_step(carry, xs):
         params, state, opt_state = carry
@@ -190,6 +193,8 @@ def make_unrolled_train_step(model, tx, unroll: int, *, fused=True,
         def skip(operand):
             return operand, jnp.float32(0.0)
 
+        if assume_valid:
+            return do((params, state, opt_state))
         has_valid = jnp.sum(batch.valid) > 0
         carry, loss = jax.lax.cond(has_valid, do, skip,
                                    (params, state, opt_state))
@@ -383,9 +388,17 @@ class TrainRunner:
             self.opt_state = self.tx.init(self.params)
             self.eval_step = make_unrolled_eval_step(model, cutoff,
                                                      project=False)
+        # full chunks (every batch real) compile without the per-step
+        # pad-skip lax.cond — measured +5% step time on TPU v5e; the
+        # guarded variant compiles lazily, only if an epoch ends in a
+        # partial chunk.  A real batch always has >= 1 valid example, so
+        # the cond always took the do() branch on full chunks anyway.
         self.train_step = make_unrolled_train_step(model, self.tx,
                                                    self.unroll, fused=fused,
-                                                   mesh=mesh)
+                                                   mesh=mesh,
+                                                   assume_valid=True)
+        self.train_step_guarded = make_unrolled_train_step(
+            model, self.tx, self.unroll, fused=fused, mesh=mesh)
         self.epoch = 0
         self.batch = 0
         # early-stop bookkeeping lives on the runner (not train() locals)
@@ -457,9 +470,11 @@ class TrainRunner:
                 batches = self._place(stack_batches(chunk, self.unroll))
                 self.step_key, sub = jax.random.split(self.step_key)
                 rngs = jax.random.split(sub, self.unroll)
+                step = self.train_step if real == self.unroll \
+                    else self.train_step_guarded
                 (self.params, self.state, self.opt_state,
-                 loss) = self.train_step(self.params, self.state,
-                                         self.opt_state, batches, rngs)
+                 loss) = step(self.params, self.state,
+                              self.opt_state, batches, rngs)
                 # keep losses as device arrays — converting per chunk would
                 # force a host sync and serialise dispatch with compute
                 pending_losses.append((loss, real))
