@@ -40,7 +40,7 @@ CONFIGS = [
     # ANCHORS["msgifsr-anchor"]): scaled so the 2-CPU torch side can
     # train it; flags must stay in lock-step with that file.
     ("msgifsr-anchor", "msgifsr",
-     ["--order", "2", "--extra", "--fusion", "--embedding-dim", "64",
+     ["--order", "2", "--extra", "--fusion", "--embedding-dim", "32",
       "--batch-size", "128"]),
 ]
 

@@ -16,7 +16,7 @@ Protocol = /root/reference/src/utils/train.py:56-127 verbatim:
     (main_lessr.py:92, main_niser.py:84-92, README.md:37).
 
 Configs: NISER and LESSR at their exact reference-script defaults.  The
-MSGIFSR anchor runs a scaled configuration (dim 64, order 2, REnorm +
+MSGIFSR anchor runs a scaled configuration (dim 32, order 2, REnorm +
 fusion, batch 128) because this container exposes 2 CPU cores and the
 reference default (dim 256, order 3) measures 30.5 s/step in torch here
 (~5 h/seed — unanchorable); the scaled config exercises every code path
@@ -53,8 +53,11 @@ ANCHORS = {
     # main_lessr.py:11-52 defaults
     "lessr": dict(model="lessr", dim=32, layers=3, drop=0.2, bs=512,
                   shuffle=False, patience=2),
-    # scaled MSGIFSR (see module docstring); patience 3 = main_msgifsr.py
-    "msgifsr-anchor": dict(model="msgifsr", dim=64, layers=1, drop=0.1,
+    # scaled MSGIFSR (see module docstring); patience 3 = main_msgifsr.py.
+    # dim 32: at dim 64 the 2-core torch side measured ~21 min/epoch —
+    # still unanchorable; dim 32 keeps every code path (expander GRU,
+    # inter relations, REnorm split, fusion gate) at ~4x less compute.
+    "msgifsr-anchor": dict(model="msgifsr", dim=32, layers=1, drop=0.1,
                            order=2, extra=True, fusion=True, bs=128,
                            shuffle=False, patience=3),
 }
