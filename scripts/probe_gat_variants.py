@@ -47,6 +47,29 @@ def conv_logits(p, hd):
     return fs, el, er
 
 
+def _blockdiag_attn(attn):
+    """[H, F] per-head attention vector -> [H*F, H] block-diagonal matrix
+    so el = fs2d @ W runs on the MXU instead of a VPU broadcast-reduce."""
+    eye = jnp.eye(H, dtype=attn.dtype)                    # [H, H]
+    big = attn[:, :, None] * eye[:, None, :]              # [H, F, H]
+    return big.reshape(H * F, H)
+
+
+def one_conv_mmlogits(p, hd, a_adj, rng):
+    """dense, but el/er computed as one [B*N, H*F] @ [H*F, 2H] matmul."""
+    fs2 = hd @ p["fc"].T                                  # [B, N, H*F]
+    fs = fs2.reshape(B, N, H, F)
+    W = jnp.concatenate([_blockdiag_attn(p["attn_l"].reshape(H, F)),
+                         _blockdiag_attn(p["attn_r"].reshape(H, F))], 1)
+    lr_ = jnp.einsum("bnf,fh->bnh", fs2, W)               # [B, N, 2H]
+    el, er = lr_[..., :H], lr_[..., H:]
+    e = jax.nn.leaky_relu(el[:, :, None, :] + er[:, None, :, :], 0.2)
+    a = masked_softmax(e, a_adj[..., None], axis=1)
+    a = dropout(rng, a, DROP, True)
+    rst = jnp.einsum("bsdh,bshf->bdhf", a, fs)
+    return rst + hd[:, :, None, :] + p["bias"].reshape(1, 1, H, F)
+
+
 def one_conv_dense(p, hd, a_adj, rng):
     fs, el, er = conv_logits(p, hd)
     e = jax.nn.leaky_relu(el[:, :, None, :] + er[:, None, :, :], 0.2)
@@ -178,4 +201,5 @@ if __name__ == "__main__":
     bench("perhead", make_pair(one_conv_bigmat))
     bench("headmajor", make_pair(one_conv_headmajor))
     bench("stacked", stacked_pair)
+    bench("mmlogits", make_pair(one_conv_mmlogits))
     bench("ref2", ref_pair)
