@@ -236,10 +236,11 @@ def measure_config(name, profile_dir=None):
 
 def main(profile_dir=None, only=None):
     names = [only] if only else list(CONFIGS)
+    prof_name = only if only else "msgifsr-o1"
     results = {}
     for name in names:
         results[name] = measure_config(
-            name, profile_dir=profile_dir if name == "msgifsr-o1" else None)
+            name, profile_dir=profile_dir if name == prof_name else None)
         print(f"# {name}: {json.dumps(results[name])}", flush=True)
     head = results.get("msgifsr-o1") or next(iter(results.values()))
     out = {
