@@ -38,12 +38,22 @@ def gru_scan(params, xs, h0=None):
     """Run a GRU over ``xs [..., T, In]``; returns final hidden ``[..., H]``.
 
     Equivalent to ``nn.GRU(batch_first=True)(xs)[1].squeeze(0)`` for a
-    single layer.  T is static; the loop is a ``lax.scan`` over time.
+    single layer.  T is static; short sequences (the SemanticExpander's
+    k-grams, T <= 4) unroll into straight-line code — a 2-3-trip
+    ``lax.scan`` lowers to an XLA while loop that serialises and blocks
+    fusion inside the training step (profiled on the MSGIFSR order-3
+    config) — longer ones use ``lax.scan``.
     """
     T = xs.shape[-2]
     H = params["w_hh"].shape[1]
     if h0 is None:
         h0 = jnp.zeros(xs.shape[:-2] + (H,), dtype=xs.dtype)
+
+    if T <= 4:
+        h = h0
+        for t in range(T):
+            h = gru_cell(params, xs[..., t, :], h)
+        return h
 
     def step(h, t):
         x = jax.lax.dynamic_index_in_dim(xs, t, axis=-2, keepdims=False)
