@@ -22,8 +22,8 @@ reference default (dim 256, order 3) measures 30.5 s/step in torch here
 (~5 h/seed — unanchorable); the scaled config exercises every code path
 of the headline one (expander GRUs, inter relations, REnorm split,
 fusion gate).  Run the JAX side of each anchor with
-``scripts/run_results.py --anchors`` (same flags, same seeds) and
-compare tables.
+``scripts/run_results.py --only <name>`` (e.g. ``--only msgifsr-anchor``;
+same seeds) and compare tables.
 
 Usage:
   python scripts/run_torch_anchor.py [--config NAME] [--seeds 123 223 323]
@@ -47,6 +47,10 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
 ANCHORS = {
+    # no reference script exists (start.sh:6 names a missing driver);
+    # NISER-like wiring matching the JAX 'srgnn' preset (config.py)
+    "srgnn": dict(model="srgnn", dim=64, layers=2, drop=0.5, bs=128,
+                  shuffle=True, patience=2),
     # main_niser.py:11-52 defaults
     "niser": dict(model="niser", dim=64, layers=2, drop=0.5, bs=128,
                   shuffle=True, patience=2),
@@ -75,7 +79,11 @@ def fix_weight_decay(model):
 
 
 def build_model(cfg, num_items):
-    from torch_ref_models import TorchLESSR, TorchMSGIFSR, TorchNISER
+    from torch_ref_models import (TorchLESSR, TorchMSGIFSR, TorchNISER,
+                                  TorchSRGNN)
+    if cfg["model"] == "srgnn":
+        return TorchSRGNN(num_items, cfg["dim"], cfg["layers"],
+                          feat_drop=cfg["drop"])
     if cfg["model"] == "niser":
         return TorchNISER(num_items, cfg["dim"], cfg["layers"],
                           feat_drop=cfg["drop"])
@@ -117,7 +125,7 @@ def run_one(cfg, seed, dataset_dir, epochs, log_interval=50):
     train_sessions, test_sessions, num_items = read_dataset(dataset_dir)
     max_len = max(max_session_len(train_sessions),
                   max_session_len(test_sessions))
-    kind = {"niser": "session", "lessr": "lessr",
+    kind = {"srgnn": "session", "niser": "session", "lessr": "lessr",
             "msgifsr": "ccs"}[cfg["model"]]
     order = cfg.get("order", 1)
     train_loader = BatchLoader(train_sessions, kind, cfg["bs"], max_len,
@@ -132,8 +140,11 @@ def run_one(cfg, seed, dataset_dir, epochs, log_interval=50):
     sched = torch.optim.lr_scheduler.StepLR(opt, step_size=3, gamma=0.1)
 
     t_start = time.time()
-    max_mrr, max_hit = evaluate(model, test_loader)     # train.py:91
-    print(f"  initial: MRR {max_mrr:.4f} HR {max_hit:.4f}", flush=True)
+    # train.py:85-91: maxima start at 0; the pre-training eval result is
+    # computed but discarded (overwritten by the first post-epoch eval).
+    max_mrr = max_hit = 0.0
+    mrr0, hit0 = evaluate(model, test_loader)           # train.py:91
+    print(f"  initial: MRR {mrr0:.4f} HR {hit0:.4f}", flush=True)
     bad = 0
     ran_epochs = 0
     for epoch in range(epochs):
@@ -161,9 +172,10 @@ def run_one(cfg, seed, dataset_dir, epochs, log_interval=50):
         print(f"  epoch {epoch}: MRR {mrr:.4f} HR {hit:.4f} "
               f"({time.time() - t_start:.0f}s)", flush=True)
         # train.py:118-126: both-metrics early stop + running maxima
+        # bad_counter == patience after increment (train.py:118-121)
         if mrr < max_mrr and hit < max_hit:
             bad += 1
-            if bad > cfg["patience"]:
+            if bad >= cfg["patience"]:
                 break
         else:
             bad = 0

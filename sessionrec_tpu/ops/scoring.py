@@ -6,8 +6,9 @@ a dense full-catalog matmul + (log-)softmax + (at eval) top-k
 (reference: srgnn.py:145-147, niser.py:152-156, lessr.py:182-183,
 msgifsr.py:276-321; topk at train.py:49).
 
-The catalog is padded to a multiple of 128 (MXU lane width / sharding
-divisibility); padded columns are masked with a large negative before any
+The catalog is padded to a multiple of ``pad_catalog``'s default (512 —
+the fused CE kernel's TILE_P, itself a multiple of the 128 MXU lane
+width); padded columns are masked with a large negative before any
 softmax so probabilities and rankings are identical to the unpadded
 computation.
 """

@@ -60,7 +60,26 @@ class Checkpointer:
         template = {"params": runner.params, "state": runner.state,
                     "opt_state": runner.opt_state,
                     "step_key": runner.step_key}
-        tree = self._ckpt.restore(path, item=template)
+        try:
+            tree = self._ckpt.restore(path, item=template)
+            # some orbax versions silently restore the SAVED shape/dtype
+            # into the template tree rather than raising — post-validate
+            drift = [
+                f"{jax.tree_util.keystr(kp)}: saved "
+                f"{np.shape(r)}/{np.asarray(r).dtype} vs template "
+                f"{np.shape(t)}/{np.asarray(t).dtype}"
+                for (kp, t), r in zip(
+                    jax.tree_util.tree_leaves_with_path(template),
+                    jax.tree_util.tree_leaves(tree))
+                if np.shape(r) != np.shape(t)
+                or np.asarray(r).dtype != np.asarray(t).dtype]
+            if drift:
+                tree = self._migrate_restore(
+                    path, template, f"shape/dtype drift: {drift[:4]}")
+        except ValueError:
+            raise
+        except Exception as strict_err:  # shape/dtype drift → migrate
+            tree = self._migrate_restore(path, template, strict_err)
         runner.params = tree["params"]
         runner.state = tree["state"]
         runner.opt_state = tree["opt_state"]
@@ -74,3 +93,85 @@ class Checkpointer:
         runner.bad_counter = int(meta.get("bad_counter", 0))
         log.info("resumed from %s (epoch %d)", path, ep)
         return True
+
+    def _migrate_restore(self, path, template, strict_err):
+        """Shape-drift migration (VERDICT r3 item 6).
+
+        Checkpoints written under a different ``pad_catalog`` multiple
+        (ops/scoring.py — e.g. the round-1 128-padding vs today's 512)
+        carry embedding-table / Adam-moment rows at a different padded
+        catalog size; orbax's strict template restore fails on them with
+        an opaque shape error.  Recoverable drift is migrated here:
+
+        * catalog-axis drift — a 2D+ leaf on an ``embedding`` path whose
+          trailing dims match the template but whose row count differs:
+          pad with the template's own rows (fresh-init rows for params,
+          zeros for moments; both are masked-out padding at runtime) or
+          slice down.  Real items always occupy rows [0, num_items), so
+          this is lossless as long as the template still covers them.
+        * dtype drift (e.g. bf16 moments from before the f32-moment fix
+          in train/optim.py): cast to the template dtype, logged — the
+          resume is then no longer bit-identical, but is well-defined.
+
+        Anything else (different tree structure, incompatible shapes)
+        raises a clear error naming the offending leaf.
+        """
+        log.warning("strict restore failed (%s); attempting shape "
+                    "migration", strict_err)
+        raw = self._ckpt.restore(path)   # saved shapes/dtypes, no template
+
+        def norm_path(kp):
+            # orbax restores optax namedtuples/tuples as plain dicts, so
+            # match template leaves to saved leaves by normalized key
+            # path ('mu' == GetAttrKey('mu') == DictKey('mu'), '1' ==
+            # SequenceKey(1) == DictKey('1')) instead of by treedef.
+            parts = []
+            for e in kp:
+                for attr in ("key", "name", "idx"):
+                    if hasattr(e, attr):
+                        parts.append(str(getattr(e, attr)))
+                        break
+                else:
+                    parts.append(str(e))
+            return "/".join(parts)
+
+        saved = {norm_path(kp): leaf for kp, leaf
+                 in jax.tree_util.tree_leaves_with_path(raw)}
+        t_items = jax.tree_util.tree_leaves_with_path(template)
+        _, t_def = jax.tree_util.tree_flatten(template)
+        out = []
+        for kp, tl in t_items:
+            name = norm_path(kp)
+            if name not in saved:
+                raise ValueError(
+                    f"checkpoint {path} is missing leaf {name} (saved "
+                    f"under an incompatible code version; saved leaves: "
+                    f"{sorted(saved)[:20]}...). Strict error: {strict_err}")
+            rl = np.asarray(saved[name])
+            if rl.shape != tl.shape:
+                trailing_ok = (rl.ndim == tl.ndim and rl.ndim >= 2
+                               and rl.shape[1:] == tl.shape[1:])
+                if not (trailing_ok and "embedding" in name):
+                    raise ValueError(
+                        f"checkpoint leaf {name}: saved shape {rl.shape} "
+                        f"is incompatible with template {tl.shape} "
+                        f"(only catalog-axis drift on embedding rows is "
+                        f"migratable)")
+                t_np = np.asarray(tl)
+                if rl.shape[0] < tl.shape[0]:       # pad: template rows
+                    mig = np.concatenate(
+                        [rl, t_np[rl.shape[0]:].astype(rl.dtype)], axis=0)
+                else:                                # slice down
+                    mig = rl[:tl.shape[0]]
+                log.warning("migrated %s rows %d -> %d", name,
+                            rl.shape[0], tl.shape[0])
+                rl = mig
+            if rl.dtype != tl.dtype:
+                log.warning("migrated %s dtype %s -> %s (resume is no "
+                            "longer bit-identical)", name, rl.dtype,
+                            tl.dtype)
+                rl = rl.astype(tl.dtype)
+            if isinstance(tl, jax.Array):
+                rl = jax.device_put(rl, tl.sharding)
+            out.append(rl)
+        return jax.tree_util.tree_unflatten(t_def, out)

@@ -23,9 +23,11 @@ def _batch(kind, order=1, num_items=300, B=8, seed=0):
 @pytest.mark.parametrize("name,kw", [
     ("srgnn", {}),
     ("niser", {}),
-    ("lessr", dict(num_layers=2)),
+    pytest.param("lessr", dict(num_layers=2), marks=pytest.mark.slow),
     ("msgifsr", dict(order=1)),
-    ("msgifsr", dict(order=2, fusion=False)),   # plain head: order-1 score
+    # plain head: order-1 score
+    pytest.param("msgifsr", dict(order=2, fusion=False),
+                 marks=pytest.mark.slow),
 ])
 def test_fused_loss_matches_apply(name, kw):
     from sessionrec_tpu.models import build_model

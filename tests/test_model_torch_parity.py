@@ -168,6 +168,7 @@ def test_niser_model_matches_torch():
     _compare(jm, jp, {}, batch, tm, (d["labels"], d["valid"]), leaves)
 
 
+@pytest.mark.slow
 def test_lessr_model_matches_torch():
     torch.manual_seed(2)
     rng = np.random.default_rng(3)
@@ -225,8 +226,9 @@ def test_lessr_model_matches_torch():
     _compare(jm, jp, js, batch, tm, (d["labels"], d["valid"]), leaves)
 
 
-@pytest.mark.parametrize("order,extra,fusion", [(1, False, False),
-                                                (3, True, True)])
+@pytest.mark.parametrize("order,extra,fusion", [
+    (1, False, False),
+    pytest.param(3, True, True, marks=pytest.mark.slow)])
 def test_msgifsr_model_matches_torch(order, extra, fusion):
     torch.manual_seed(3)
     rng = np.random.default_rng(4)

@@ -155,11 +155,15 @@ def test_padded_rows_do_not_affect_real_rows():
                   compute_dtype="bfloat16"),
     lambda: NISER(num_items=NUM_ITEMS, embedding_dim=16, num_layers=1,
                   compute_dtype="bfloat16"),
-    lambda: LESSR(num_items=NUM_ITEMS, embedding_dim=16, num_layers=2,
-                  compute_dtype="bfloat16"),
-    lambda: MSGIFSR(num_items=NUM_ITEMS, embedding_dim=16, num_layers=1,
-                    order=2, extra=True, fusion=True,
-                    compute_dtype="bfloat16"),
+    pytest.param(
+        lambda: LESSR(num_items=NUM_ITEMS, embedding_dim=16, num_layers=2,
+                      compute_dtype="bfloat16"),
+        marks=pytest.mark.slow),
+    pytest.param(
+        lambda: MSGIFSR(num_items=NUM_ITEMS, embedding_dim=16, num_layers=1,
+                        order=2, extra=True, fusion=True,
+                        compute_dtype="bfloat16"),
+        marks=pytest.mark.slow),
 ])
 def test_bfloat16_compute_path(make):
     """bf16 compute must stay finite, normalised, and close to f32 in both

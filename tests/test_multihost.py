@@ -18,8 +18,9 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 WORKER = REPO / "tests" / "_mh_worker.py"
 SAMPLE = REPO / "datasets" / "sample"
 
-pytestmark = pytest.mark.skipif(not SAMPLE.is_dir(),
-                                reason="sample dataset not present")
+pytestmark = [pytest.mark.slow, pytest.mark.multihost,
+              pytest.mark.skipif(not SAMPLE.is_dir(),
+                                reason="sample dataset not present")]
 
 TRAIN_FLAGS = ["--model", "niser", "--dataset-dir", str(SAMPLE),
                "--embedding-dim", "16", "--num-layers", "1",

@@ -11,8 +11,9 @@ import pytest
 SAMPLE_DIR = str(pathlib.Path(__file__).resolve().parent.parent
                  / "datasets" / "sample")
 
-pytestmark = pytest.mark.skipif(not os.path.isdir(SAMPLE_DIR),
-                                reason="sample dataset not present")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not os.path.isdir(SAMPLE_DIR),
+                                reason="sample dataset not present")]
 
 
 def _run(model_name, n_sessions=1200, epochs=2, **model_overrides):

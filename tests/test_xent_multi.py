@@ -9,6 +9,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas parity: minutes
+
 from sessionrec_tpu.ops import xent_multi as xm
 from sessionrec_tpu.ops import scoring
 from sessionrec_tpu.parallel import mesh as M

@@ -11,8 +11,9 @@ import jax.numpy as jnp
 from sessionrec_tpu.ops import xent
 from sessionrec_tpu.parallel import mesh as M
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 devices")
+pytestmark = [pytest.mark.slow,   # Pallas-in-shard_map parity: minutes
+              pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 devices")]
 
 
 def _data(B=16, D=32, P=512, num_items=470, seed=0):
