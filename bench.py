@@ -76,6 +76,13 @@ CONFIGS = {
     "lessr": dict(model="lessr", batch=512, dim=32, layers=3, feat_drop=0.2),
     # main_niser.py defaults: dim 64, 2 layers, drop 0.5, bs 128
     "niser": dict(model="niser", batch=128, dim=64, layers=2, feat_drop=0.5),
+    # million-item catalog: the regime the catalog-axis design targets
+    # (row-sharded table, fused CE streaming P in TILE_P tiles, streamed
+    # eval).  Synthetic P=2^20 at NISER geometry; batch 512 amortises the
+    # per-step full-table optimizer pass.  Table 2^20 x 64: bf16 128 MB
+    # + f32 Adam moments 512 MB — single-chip resident.
+    "niser-1m": dict(model="niser", batch=512, dim=64, layers=2,
+                     feat_drop=0.5, items=1 << 20),
 }
 
 
@@ -84,11 +91,12 @@ def synthetic_batches(cfg, n_batches, rng):
     from sessionrec_tpu.graph.batch import (CcsBatch, CcsLevel, LessrBatch,
                                             SessionGraphBatch)
     B = cfg["batch"]
+    num_items = cfg.get("items", NUM_ITEMS)
     out = []
     for _ in range(n_batches):
         lens = rng.integers(1, MAX_LEN + 1, size=B)
-        seqs = [list(rng.integers(0, NUM_ITEMS, size=l)) for l in lens]
-        labels = list(rng.integers(0, NUM_ITEMS, size=B))
+        seqs = [list(rng.integers(0, num_items, size=l)) for l in lens]
+        labels = list(rng.integers(0, num_items, size=B))
         if cfg["model"] == "msgifsr":
             d = builders.build_ccs_batch(seqs, labels, cfg["order"],
                                          MAX_LEN, B)
@@ -108,18 +116,19 @@ def synthetic_batches(cfg, n_batches, rng):
 
 def build_model(cfg, compute_dtype, table_dtype):
     from sessionrec_tpu.models import LESSR, MSGIFSR, NISER
+    num_items = cfg.get("items", NUM_ITEMS)
     if cfg["model"] == "msgifsr":
-        return MSGIFSR(num_items=NUM_ITEMS, embedding_dim=cfg["dim"],
+        return MSGIFSR(num_items=num_items, embedding_dim=cfg["dim"],
                        num_layers=cfg["layers"], feat_drop=cfg["feat_drop"],
                        order=cfg.get("order", 1),
                        extra=cfg.get("extra", False),
                        fusion=cfg.get("fusion", False),
                        compute_dtype=compute_dtype, table_dtype=table_dtype)
     if cfg["model"] == "lessr":
-        return LESSR(num_items=NUM_ITEMS, embedding_dim=cfg["dim"],
+        return LESSR(num_items=num_items, embedding_dim=cfg["dim"],
                      num_layers=cfg["layers"], feat_drop=cfg["feat_drop"],
                      compute_dtype=compute_dtype, table_dtype=table_dtype)
-    return NISER(num_items=NUM_ITEMS, embedding_dim=cfg["dim"],
+    return NISER(num_items=num_items, embedding_dim=cfg["dim"],
                  num_layers=cfg["layers"], feat_drop=cfg["feat_drop"],
                  compute_dtype=compute_dtype, table_dtype=table_dtype)
 
@@ -165,7 +174,7 @@ def run(name, compute_dtype="float32", quiet=False, profile_dir=None):
         if isinstance(ca, list):
             ca = ca[0]
         from sessionrec_tpu.ops.scoring import pad_catalog
-        p_pad = pad_catalog(NUM_ITEMS)
+        p_pad = pad_catalog(cfg.get("items", NUM_ITEMS))
         k_orders = cfg.get("order", 1) if cfg["model"] == "msgifsr" else 1
         pallas = 8.0 * cfg["dim"] * p_pad * k_orders   # per example per step
         flops_per_example = ca["flops"] / (UNROLL * B) + pallas

@@ -280,6 +280,20 @@ def gat_apply(p, f_src, f_dst, adj, rng, *, num_heads, feat_drop, attn_drop,
     (+h_dst, gatconv.py:306-308) and bias is added per head.  Returns
     ``[B, Nd, H, dh]`` — head reduction happens in the caller (MSHGNN
     takes max over heads, msgifsr.py:84-85).
+
+    Attention logits compute DIRECTLY from the features: DGL forms
+    ``el = sum(fs * attn_l)`` on the projected [*, H, dh] tensor
+    (gatconv.py:288-291), but that is algebraically
+    ``h_src @ (fc^T attn_l)`` — a [d, H] matrix folded from the weights
+    once per call.  Two consequences on TPU (measured, o3 trace):
+    * the dst-side projection of a BIPARTITE relation disappears
+      entirely (``fd`` existed only to produce ``er``) — at MSGIFSR
+      order 3 that deletes 8 of the 22 [B*N, d]@[d, H*dh] matmuls;
+    * the [B, N, H, dh] x attn multiply-reduce fusions (and their
+      backward) leave the step; ``fs`` is consumed only by the
+      aggregation matmul.
+    Float summation order differs from DGL's (contract d before f), so
+    results match to tolerance, not bitwise.
     """
     if f_src is f_dst:
         # homogeneous relation: DGL applies feat_drop once and reuses the
@@ -289,15 +303,13 @@ def gat_apply(p, f_src, f_dst, adj, rng, *, num_heads, feat_drop, attn_drop,
         h_src = dropout(rng, f_src, feat_drop, training)
         h_dst = dropout(rng, f_dst, feat_drop, training)
     B, Ns = h_src.shape[0], h_src.shape[1]
-    Nd = h_dst.shape[1]
     dh = p["attn_l"].shape[-1]
     fs = (h_src @ p["fc"].T).reshape(B, Ns, num_heads, dh)
-    # homogeneous relation: src and dst projections are the same matmul
-    # (the [*, d] @ [d, H*dh] projection is a dominant-cost op)
-    fd = fs if h_src is h_dst else \
-        (h_dst @ p["fc"].T).reshape(B, Nd, num_heads, dh)
-    el = jnp.sum(fs * p["attn_l"], axis=-1)               # [B, Ns, H]
-    er = jnp.sum(fd * p["attn_r"], axis=-1)               # [B, Nd, H]
+    fc3 = p["fc"].reshape(num_heads, dh, -1)              # [H, dh, d]
+    w_el = jnp.einsum("hfd,hf->dh", fc3, p["attn_l"])     # [d, H]
+    w_er = jnp.einsum("hfd,hf->dh", fc3, p["attn_r"])
+    el = h_src @ w_el                                     # [B, Ns, H]
+    er = h_dst @ w_er                                     # [B, Nd, H]
     e = jax.nn.leaky_relu(el[:, :, None, :] + er[:, None, :, :], 0.2)
     a = masked_softmax(e, adj[..., None], axis=1)         # softmax over src
     a = dropout(rng, a, attn_drop, training)
@@ -371,138 +383,44 @@ def mshgnn_apply(p, feats, batch, rng, *, feat_drop, training, num_heads=8):
     max over the 8 heads, plus a broadcast per-graph mean of the *input*
     features (msgifsr.py:84-89).
 
-    Stays the dense XLA formulation on purpose: a fused Pallas kernel for
-    the intra conv pair was built and measured twice (rounds 2-3) and
-    lost to this path both times (9x slower; block-diagonalising the
-    batch to feed the MXU costs the same ~N_pad/N compute multiple that
-    XLA's padding of the tiny per-session [20,20]@[20,256] contractions
-    does, without XLA's fusion around it — see BENCH_NOTES.md round 3).
-
-    Order 1 (two homogeneous applications) keeps the per-call form the
-    round-3 shootout proved XLA-optimal; order >= 2 routes to the stacked
-    form below, which batches all 6K-4 GATConv applications of the layer
-    into one attention block.
+    Stays the SEQUENTIAL dense XLA formulation on purpose — round 4
+    measured two cross-application "stacked" forms (all 6K-4 GATConv
+    applications of an order-K layer batched on a leading axis; a 5D and
+    a flattened-4D variant) and both LOST to this one (46 / 56 ms
+    device-time per o3-paper step vs ~30 ms): inside one XLA program the
+    sequential chains have no dispatch cost to amortise, and the stacked
+    tensors forced ~14 ms of pure layout copies / physical re-tiles that
+    XLA never emits for the per-call chains (BENCH_NOTES.md round 4).
+    A fused Pallas kernel for the intra pair lost 9x in rounds 2-3 for
+    the analogous reason (BENCH_NOTES.md round 3).
     """
     K = batch.order
-    if K > 1:
-        return _mshgnn_apply_stacked(p, feats, batch, rng,
-                                     feat_drop=feat_drop, training=training,
-                                     num_heads=num_heads)
     kw = dict(num_heads=num_heads, feat_drop=feat_drop, attn_drop=feat_drop,
               training=training)
-    lv = batch.levels[0]
-    f = feats[0]
-    acc = gat_apply(p["conv1"]["intra1"], f, f, lv.intra_adj, rng, **kw)
-    acc = acc + gat_apply(p["conv2"]["intra1"], f, f,
-                          jnp.swapaxes(lv.intra_adj, 1, 2), rng, **kw)
-    h = jnp.max(acc, axis=2)                           # head max
-    h_mean = masked_mean(f, lv.mask[..., None], axis=1)  # per-graph mean
-    return [h + h_mean[:, None, :]]
-
-
-def _pad_axis(x, axis, size):
-    pad = size - x.shape[axis]
-    if pad == 0:
-        return x
-    cfg = [(0, 0)] * x.ndim
-    cfg[axis] = (0, pad)
-    return jnp.pad(x, cfg)
-
-
-def _mshgnn_apply_stacked(p, feats, batch, rng, *, feat_drop, training,
-                          num_heads):
-    """All 6K-4 GATConv applications of an MSHGNN layer as ONE stacked
-    attention block (order >= 2).
-
-    The reference's HeteroGraphConv dispatches each relation to its
-    GATConv sequentially (msgifsr.py:58-91); at order 3 that is 14 small
-    dense-attention programs per layer, each a chain of [B,~20,.] ops too
-    small to fill the MXU and each paying its own layout transitions
-    (the order-1 per-op profile already showed ~22% pure copies;
-    sequential chains multiply that by the application count).  Here
-    every application becomes an index on a leading 'application' axis:
-
-      X = [conv1-intra(1..K), conv2-intra(1..K),         distinct weights
-           conv1-inter(k->1), conv1-inter(1->l),
-           conv2-inter(k->1), conv2-inter(1->l)]         ONE shared weight
-                                                         set per conv
-
-    Levels are padded to the common level-1 node cap (20/19/18 -> 20) so
-    features and adjacencies stack; weights stack with ``jnp.stack`` of
-    the param leaves — the shared 'inter' weights appear once per
-    application and autodiff sums their cotangents across uses, exactly
-    HeteroGraphConv's name-keyed weight sharing (msgifsr.py:58-64).
-    Numerics match the sequential form up to float summation order; the
-    dropout-mask draw ORDER differs (three stacked draws replace ~22
-    per-call draws) but every application still receives an independent
-    mask, and intra applications still reuse the src mask for dst (the
-    DGL single-mask homogeneous quirk, gatconv.py:283-284).
-    """
-    K = batch.order
-    B, N, d = feats[0].shape           # level 1 has the largest node cap
-    H = num_heads
-    dh = p["conv1"]["intra1"]["attn_l"].shape[-1]
-
-    F = [_pad_axis(f, 1, N) for f in feats]                     # K×[B,N,d]
-    adjs = [_pad_axis(_pad_axis(lv.intra_adj, 1, N), 2, N)
-            for lv in batch.levels]
-    ii = [_pad_axis(a, 2, N) for a in batch.inter_in]   # [B,N1,Nk]->[B,N,N]
-    io = [_pad_axis(a, 1, N) for a in batch.inter_out]  # [B,Nk,N1]->[B,N,N]
-
-    # application table: (weight leafdict, src level, dst level, adj)
-    apps = []
-    for conv in ("conv1", "conv2"):
-        for l in range(K):
-            a = adjs[l] if conv == "conv1" else jnp.swapaxes(adjs[l], 1, 2)
-            apps.append((p[conv][f"intra{l + 1}"], l, l, a))
-    n_intra = len(apps)
-    for k in range(2, K + 1):          # conv1: sk -> s1
-        apps.append((p["conv1"]["inter"], k - 1, 0, io[k - 2]))
-    for l in range(2, K + 1):          # conv1: s1 -> sl
-        apps.append((p["conv1"]["inter"], 0, l - 1, ii[l - 2]))
-    for k in range(2, K + 1):          # conv2 (reversed): sk -> s1
-        apps.append((p["conv2"]["inter"], k - 1, 0,
-                     jnp.swapaxes(ii[k - 2], 1, 2)))
-    for l in range(2, K + 1):          # conv2 (reversed): s1 -> sl
-        apps.append((p["conv2"]["inter"], 0, l - 1,
-                     jnp.swapaxes(io[l - 2], 1, 2)))
-    X = len(apps)
-
-    wfc = jnp.stack([w["fc"] for w, *_ in apps])          # [X, H*dh, d]
-    wal = jnp.stack([w["attn_l"] for w, *_ in apps])      # [X, H, dh]
-    war = jnp.stack([w["attn_r"] for w, *_ in apps])
-    wb = jnp.stack([w["bias"] for w, *_ in apps])         # [X, H*dh]
-    adj = jnp.stack([a for *_, a in apps])                # [X, B, N, N]
-
-    S = dropout(rng, jnp.stack([F[s] for _, s, _, _ in apps]),
-                feat_drop, training)                      # [X, B, N, d]
-    D_inter = dropout(
-        rng, jnp.stack([F[t] for _, _, t, _ in apps[n_intra:]]),
-        feat_drop, training)
-    D = jnp.concatenate([S[:n_intra], D_inter], axis=0)   # dst features
-
-    fs = jnp.einsum("xbnd,xkd->xbnk", S, wfc).reshape(X, B, N, H, dh)
-    el = jnp.sum(fs * wal[:, None, None], axis=-1)        # [X, B, N, H]
-    # intra is homogeneous: fd == fs; inter projects the dst features
-    fd_inter = jnp.einsum("xbnd,xkd->xbnk", D_inter, wfc[n_intra:]) \
-        .reshape(X - n_intra, B, N, H, dh)
-    er = jnp.concatenate([
-        jnp.sum(fs[:n_intra] * war[:n_intra, None, None], axis=-1),
-        jnp.sum(fd_inter * war[n_intra:, None, None], axis=-1)], axis=0)
-
-    e = jax.nn.leaky_relu(el[:, :, :, None, :] + er[:, :, None, :, :], 0.2)
-    a = masked_softmax(e, adj[..., None], axis=2)         # softmax over src
-    a = dropout(rng, a, feat_drop, training)              # attn_drop
-    rst = jnp.einsum("xbsdh,xbshf->xbdhf", a, fs)         # [X, B, N, H, dh]
-    rst = rst + D[:, :, :, None, :]                       # identity residual
-    rst = rst + wb.reshape(X, 1, 1, H, dh)
-
     out = []
-    for l in range(K):
-        acc = sum(rst[x] for x, (_, _, t, _) in enumerate(apps) if t == l)
-        Nl = feats[l].shape[1]
-        h = jnp.max(acc[:, :Nl], axis=2)                   # head max
-        h_mean = masked_mean(feats[l], batch.levels[l].mask[..., None],
-                             axis=1)                       # per-graph mean
+    for l in range(1, K + 1):
+        lv = batch.levels[l - 1]
+        f = feats[l - 1]
+        acc = gat_apply(p["conv1"][f"intra{l}"], f, f, lv.intra_adj, rng, **kw)
+        acc = acc + gat_apply(p["conv2"][f"intra{l}"], f, f,
+                              jnp.swapaxes(lv.intra_adj, 1, 2), rng, **kw)
+        if l == 1:
+            for k in range(2, K + 1):
+                fk = feats[k - 1]
+                # conv1: sk -> s1 inter edges
+                acc = acc + gat_apply(p["conv1"]["inter"], fk, f,
+                                      batch.inter_out[k - 2], rng, **kw)
+                # conv2 (reversed): s1 -> sk edges become sk -> s1
+                acc = acc + gat_apply(p["conv2"]["inter"], fk, f,
+                                      jnp.swapaxes(batch.inter_in[k - 2],
+                                                   1, 2), rng, **kw)
+        else:
+            acc = acc + gat_apply(p["conv1"]["inter"], feats[0], f,
+                                  batch.inter_in[l - 2], rng, **kw)
+            acc = acc + gat_apply(p["conv2"]["inter"], feats[0], f,
+                                  jnp.swapaxes(batch.inter_out[l - 2], 1, 2),
+                                  rng, **kw)
+        h = jnp.max(acc, axis=2)                           # head max
+        h_mean = masked_mean(f, lv.mask[..., None], axis=1)  # per-graph mean
         out.append(h + h_mean[:, None, :])
     return out
