@@ -50,11 +50,11 @@ def render_anchor(jax_groups, torch_path):
     for line in torch_path.read_text().splitlines():
         r = json.loads(line)
         tg[r["name"]].append(r)
-    jmap = {"niser": "niser", "lessr": "lessr",
+    jmap = {"srgnn": "srgnn", "niser": "niser", "lessr": "lessr",
             "msgifsr-anchor": "msgifsr-anchor"}
     lines = ["| config | stack | seeds | MRR@20 | HR@20 |",
              "|---|---|---|---|---|"]
-    for tname in ("niser", "lessr", "msgifsr-anchor"):
+    for tname in ("srgnn", "niser", "lessr", "msgifsr-anchor"):
         rows = []
         jrs = [r for (n, _), g in jax_groups.items() if n == jmap[tname]
                for r in g]

@@ -223,10 +223,15 @@ def eopa_apply(p, state, feat, mask, mail_idx, mail_mask, rng, *, feat_drop,
         feat, new_state["bn"] = batchnorm_apply(p["bn"], state["bn"], feat,
                                                 mask, training=training)
     ft = dropout(rng, feat, feat_drop, training)
-    # mailbox gather: mail[b, v, j] = ft[b, mail_idx[b, v, j]]
-    mail = jnp.take_along_axis(ft[:, None, :, :],
-                               mail_idx[..., None].astype(jnp.int32),
-                               axis=2)
+    # mailbox gather: mail[b, v, j] = ft[b, mail_idx[b, v, j]].  Written
+    # as a one-hot contraction over the N (<=20) source nodes instead of
+    # take_along_axis: the row gather and its scatter-add backward were
+    # the LESSR step's top cost (5.8 of 9.5 ms device-time — [B*N*D]-row
+    # dynamic gathers of 64 B rows, profiled v5e round 4); as a matmul
+    # both directions ride the MXU and the one-hot fuses from iota.
+    N = feat.shape[1]
+    onehot = (mail_idx[..., None] == jnp.arange(N)).astype(ft.dtype)
+    mail = jnp.einsum("bvjn,bnd->bvjd", onehot, ft)
     neigh = masked_mailbox_gru(p["gru"], mail, mail_mask)
     rst = linear(p["fc_self"], feat) + linear(p["fc_neigh"], neigh)
     return prelu(p["act"], rst), new_state

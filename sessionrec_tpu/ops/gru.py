@@ -84,34 +84,32 @@ def masked_mailbox_gru(params, mail, mail_mask, unroll_limit=32):
     GRU run over exactly the real in-messages.  Zero-degree rows return 0
     (DGL update_all leaves unmessaged nodes at zero).
 
-    The input-side gate pre-activations (``x @ w_ih.T``) do not depend on
-    the hidden state, so they are hoisted out of the recurrence into ONE
-    [..., D, 3H] matmul — the recurrence then carries only the small
-    ``h @ w_hh.T`` matmul plus elementwise gates (the cuDNN persistent-GRU
-    structure).  Mailbox depths up to ``unroll_limit`` additionally unroll
-    into straight-line code: a D-trip ``lax.scan`` lowers to an XLA while
-    loop whose per-iteration launch + dynamic-slice overhead dominates at
-    these sizes (D<=19, dim 32 — profiled on the LESSR bench config).
+    Mailbox depths up to ``unroll_limit`` unroll into straight-line code:
+    a D-trip ``lax.scan`` lowers to an XLA while loop whose per-iteration
+    launch + dynamic-slice overhead dominates at these sizes (D<=19,
+    dim 32 — profiled on the LESSR bench config).  The input-side gates
+    are computed per step, NOT hoisted into one [..., D, 3H] matmul:
+    that variant was measured (bench `lessr`, v5e) at 45.7k vs 50.5k
+    examples/s — the materialised 3H-wide tensor triples the step's HBM
+    bytes at dim 32, costing more than the batched matmul saves.
     """
     D = mail.shape[-2]
     H = params["w_hh"].shape[1]
     h = jnp.zeros(mail.shape[:-2] + (H,), dtype=mail.dtype)
-
-    gi_all = mail @ params["w_ih"].T + params["b_ih"]     # [..., D, 3H]
     keep = mail_mask[..., None].astype(bool)              # [..., D, 1]
 
     if D <= unroll_limit:
         for t in range(D):
-            h_new = _gru_cell_from_gates(params, gi_all[..., t, :], h)
+            h_new = gru_cell(params, mail[..., t, :], h)
             h = jnp.where(keep[..., t, :], h_new, h)
         return h
 
     def step(h, xs):
-        gi, m = xs
-        h_new = _gru_cell_from_gates(params, gi, h)
+        x, m = xs
+        h_new = gru_cell(params, x, h)
         return jnp.where(m, h_new, h), None
 
     h, _ = jax.lax.scan(step, h,
-                        (jnp.moveaxis(gi_all, -2, 0),
+                        (jnp.moveaxis(mail, -2, 0),
                          jnp.moveaxis(keep, -2, 0)))
     return h
