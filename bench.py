@@ -74,7 +74,12 @@ CONFIGS = {
                              feat_drop=0.1, order=1),
     # main_lessr.py defaults: dim 32, 3 layers, drop 0.2, bs 512
     "lessr": dict(model="lessr", batch=512, dim=32, layers=3, feat_drop=0.2),
-    # main_niser.py defaults: dim 64, 2 layers, drop 0.5, bs 128
+    # main_niser.py defaults: dim 64, 2 layers, drop 0.5, bs 128.
+    # bf16 is EXPECTED ~6% slower than f32 here (diagnosed round 4): at
+    # this geometry the step is full-table-pass-bound, the f32 Adam
+    # moments (correctness-required, train/optim.py) dominate that
+    # traffic, and bf16 only adds convert + stochastic-rounding work —
+    # run NISER-shaped jobs in float32 (BENCH_NOTES.md round 4).
     "niser": dict(model="niser", batch=128, dim=64, layers=2, feat_drop=0.5),
     # million-item catalog: the regime the catalog-axis design targets
     # (row-sharded table, fused CE streaming P in TILE_P tiles, streamed

@@ -82,7 +82,8 @@ def compiled_hlo(dp, mp, batch_per_chip=512, dim=256, order=1,
     params, _ = model.init(jax.random.PRNGKey(0))
     tx = make_optimizer(params, lr=1e-3, weight_decay=1e-4,
                         steps_per_epoch=100)
-    mesh = M.make_mesh(data=dp, model=mp)
+    mesh = M.make_mesh(data=dp, model=mp,
+                       devices=jax.devices()[:dp * mp])
     params, state, opt_state = S.init_sharded(model, tx, mesh,
                                               jax.random.PRNGKey(0))
     batch = S.place_batch(mesh, batch)

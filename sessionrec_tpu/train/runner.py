@@ -208,14 +208,18 @@ def make_unrolled_train_step(model, tx, unroll: int, *, fused=True,
     return jax.jit(multi_step, donate_argnums=(0, 1, 2))
 
 
-# Auto-streaming threshold: materialise [B, P] logits only while they
-# stay under ~512 MB f32.  Measured on TPU v5e at yoochoose-1/4 scale
-# (B=512, P=37.5k, scripts/probe_eval.py): the materialised path is
-# 4.3x FASTER (3.6 vs 15.1 ms/eval batch) — one large top-k sort beats
-# 19 sequential per-slab top-k merges under lax.scan.  Streaming is for
-# the catalog regime where [B, P] itself is the problem (>= ~1M items
-# at B=512), not a speed optimisation below it.
-_STREAM_EVAL_ELEMS = 128 * 1024 * 1024
+# Auto-streaming threshold: materialise [B, P] logits while they fit.
+# Measured on TPU v5e twice: at yoochoose-1/4 scale (B=512, P=37.5k,
+# scripts/probe_eval.py) the materialised path is 4.3x faster (3.6 vs
+# 15.1 ms/eval batch), and at the P=2^20 design point (B=512, 537M
+# logits elements, 1.07 GB bf16) it is still 7.8x faster (45.3 vs
+# 354.3 ms/batch, round 4) — one large top-k sort beats thousands of
+# sequential per-slab top-k merges under lax.scan at ANY size that
+# fits.  Streaming is therefore purely an out-of-memory escape hatch:
+# engage it only when the [B, P] logits tensor would claim a
+# significant fraction of a v5e chip's 16 GB HBM (4 GB f32 threshold;
+# eval runs alongside the resident table + Adam moments).
+_STREAM_EVAL_ELEMS = 1024 * 1024 * 1024
 
 
 def _eval_ranks(model, params, state, batch, cutoff, streamed=None):
