@@ -51,9 +51,11 @@ def _check_logprobs(lp, num_items):
     (NISER, dict(embedding_dim=16, num_layers=2), session_batch),
     (LESSR, dict(embedding_dim=16, num_layers=3), lessr_batch),
     (MSGIFSR, dict(embedding_dim=16, num_layers=1, order=1), lambda: ccs_batch(1)),
-    (MSGIFSR, dict(embedding_dim=16, num_layers=1, order=3), lambda: ccs_batch(3)),
-    (MSGIFSR, dict(embedding_dim=16, num_layers=2, order=2, extra=True,
-                   fusion=True), lambda: ccs_batch(2)),
+    pytest.param(MSGIFSR, dict(embedding_dim=16, num_layers=1, order=3),
+                 lambda: ccs_batch(3), marks=pytest.mark.slow),
+    pytest.param(MSGIFSR, dict(embedding_dim=16, num_layers=2, order=2,
+                               extra=True, fusion=True),
+                 lambda: ccs_batch(2), marks=pytest.mark.slow),
 ])
 def test_forward_shapes_and_normalisation(cls, kw, batch_fn):
     model = cls(num_items=NUM_ITEMS, feat_drop=0.1, **kw)
@@ -71,8 +73,9 @@ def test_forward_shapes_and_normalisation(cls, kw, batch_fn):
 @pytest.mark.parametrize("cls,kw,batch_fn", [
     (SRGNN, dict(embedding_dim=16, num_layers=1), session_batch),
     (LESSR, dict(embedding_dim=16, num_layers=2), lessr_batch),
-    (MSGIFSR, dict(embedding_dim=16, num_layers=1, order=2, extra=True),
-     lambda: ccs_batch(2)),
+    pytest.param(MSGIFSR, dict(embedding_dim=16, num_layers=1, order=2,
+                               extra=True),
+                 lambda: ccs_batch(2), marks=pytest.mark.slow),
 ])
 def test_gradients_flow_and_are_finite(cls, kw, batch_fn):
     from sessionrec_tpu.ops import scoring

@@ -44,6 +44,7 @@ def _runner(mesh, metrics=None):
                        mesh=mesh, metrics=metrics, seed=7)
 
 
+@pytest.mark.slow
 def test_mesh_runner_matches_single_device(tmp_path):
     from sessionrec_tpu.parallel.mesh import MODEL_AXIS, make_mesh
     from sessionrec_tpu.utils.metrics import MetricsLogger
