@@ -19,24 +19,19 @@ Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8
 
 from __future__ import annotations
 
-import os
 import pathlib
 import sys
 import time
 
-os.environ["JAX_PLATFORMS"] = "cpu"   # ambient env pins the TPU backend
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+from sessionrec_tpu.utils.backend import force_cpu_backend  # noqa: E402
+
+force_cpu_backend(8)
+
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
 
 
 def build(num_items, batch_size):

@@ -33,19 +33,17 @@ Prints a markdown table for BENCH_NOTES.md.
 from __future__ import annotations
 
 import argparse
-import os
 import pathlib
+import re
 import sys
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=16").strip()
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
+
+from sessionrec_tpu.utils.backend import force_cpu_backend  # noqa: E402
+
+force_cpu_backend(16)
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
@@ -93,6 +91,34 @@ def compiled_hlo(dp, mp, batch_per_chip=512, dim=256, order=1,
     return lowered.compile().as_text()
 
 
+def collectives(hlo_text, default_n):
+    """[(kind, result_bytes, group_size)] — group size parsed from each
+    op's replica_groups so model-axis collectives are costed on the
+    model ring, not the data ring."""
+    import test_zero_opt as Z
+    out = []
+    for line in Z._unwrap(hlo_text).splitlines():
+        m = Z._COLL_RE.search(line)
+        if not m:
+            continue
+        shapes, kind = m.group(1), m.group(2)
+        total = 0
+        for dt, dims in Z._SHAPE_RE.findall(shapes):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * Z._DTYPE_BYTES.get(dt, 4)
+        g = re.search(r"replica_groups=\{\{([0-9, ]+)\}", line)
+        if g:
+            group = len(g.group(1).split(","))
+        else:
+            gi = re.search(r"replica_groups=\[(\d+),(\d+)\]", line)
+            group = int(gi.group(2)) if gi else default_n
+        out.append((kind, total, group))
+    return out
+
+
 def ring_time(kind, result_bytes, n):
     """Seconds to move `result_bytes` (the collective's RESULT size, as
     counted from HLO shapes) around an n-chip ring at BW_RING."""
@@ -133,16 +159,19 @@ def main():
                   f"(have {len(jax.devices())}) | - | - | - |")
             continue
         hlo = compiled_hlo(dp, args.mp, order=args.order)
-        by_kind, shapes = collective_bytes(hlo)
-        t_comm = sum(ring_time(k, b, dp) for k, b in by_kind.items())
+        colls = collectives(hlo, dp)
+        t_comm = sum(ring_time(k, b, g) for k, b, g in colls)
         eff = args.step_ms / (args.step_ms + 1e3 * t_comm)
-        pretty = ", ".join(f"{k}: {b / 1e6:.1f} MB"
-                           for k, b in sorted(by_kind.items()))
+        agg = {}
+        for k, b, g in colls:
+            agg[(k, g)] = agg.get((k, g), 0) + b
+        pretty = ", ".join(f"{k}(ring {g}): {b / 1e6:.1f} MB"
+                           for (k, g), b in sorted(agg.items()))
         print(f"| {dp} | {args.mp} | {pretty} | {1e3 * t_comm:.2f} | "
               f"{args.step_ms:.2f} | {100 * eff:.1f}% |")
+        _, shapes = collective_bytes(hlo)
         for k, ss in sorted(shapes.items()):
-            big = [s for s in ss][:6]
-            print(f"    {k}: {big}")
+            print(f"    {k}: {ss[:6]}")
 
 
 if __name__ == "__main__":

@@ -46,10 +46,15 @@ def render(groups):
 def render_anchor(jax_groups, torch_path):
     """JAX-vs-torch-replica table for the anchor configs
     (scripts/run_torch_anchor.py records the torch side)."""
-    tg = defaultdict(list)
+    # keep only the NEWEST row per (name, seed): protocol fixes re-run
+    # individual seeds and append (the jsonl is append-only)
+    newest = {}
     for line in torch_path.read_text().splitlines():
         r = json.loads(line)
-        tg[r["name"]].append(r)
+        newest[(r["name"], r["seed"])] = r
+    tg = defaultdict(list)
+    for (name, _), r in sorted(newest.items()):
+        tg[name].append(r)
     jmap = {"srgnn": "srgnn", "niser": "niser", "lessr": "lessr",
             "msgifsr-anchor": "msgifsr-anchor"}
     lines = ["| config | stack | seeds | MRR@20 | HR@20 |",

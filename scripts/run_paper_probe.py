@@ -78,8 +78,12 @@ def run_jax(subset, seed, epochs, log_path):
            "--batch-size", "128", "--patience", "1000000"]
     t0 = time.time()
     with open(log_path, "w") as lf:
-        subprocess.run(cmd, stdout=lf, stderr=subprocess.STDOUT, cwd=REPO,
-                       timeout=4 * 3600)
+        proc = subprocess.run(cmd, stdout=lf, stderr=subprocess.STDOUT,
+                              cwd=REPO, timeout=4 * 3600)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"jax probe run failed rc={proc.returncode}; see {log_path} "
+            f"(tail: {log_path.read_text()[-500:]})")
     return {"wall_s": round(time.time() - t0, 1)}, \
         parse_curve(log_path.read_text())
 

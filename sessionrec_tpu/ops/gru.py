@@ -63,18 +63,6 @@ def gru_scan(params, xs, h0=None):
     return h
 
 
-def _gru_cell_from_gates(params, gi, h):
-    """GRU step given precomputed input-side gate pre-activations
-    ``gi = x @ w_ih.T + b_ih`` (the h-independent half of the cell)."""
-    gh = h @ params["w_hh"].T + params["b_hh"]
-    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
-    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-    r = jax.nn.sigmoid(i_r + h_r)
-    z = jax.nn.sigmoid(i_z + h_z)
-    n = jnp.tanh(i_n + r * h_n)
-    return (1.0 - z) * n + z * h
-
-
 def masked_mailbox_gru(params, mail, mail_mask, unroll_limit=32):
     """Ordered-mailbox GRU — the EOPA reducer (reference: lessr.py:20-27).
 

@@ -60,26 +60,30 @@ class Checkpointer:
         template = {"params": runner.params, "state": runner.state,
                     "opt_state": runner.opt_state,
                     "step_key": runner.step_key}
+        tree = strict_err = None
         try:
             tree = self._ckpt.restore(path, item=template)
+        except Exception as e:          # shape/dtype drift → migrate below
+            strict_err = e
+        if tree is None:
+            tree = self._migrate_restore(path, template, strict_err)
+        else:
             # some orbax versions silently restore the SAVED shape/dtype
             # into the template tree rather than raising — post-validate
+            # (attribute reads only; no device-to-host copies)
+            def sd(x):
+                return (getattr(x, "shape", np.shape(x)),
+                        getattr(x, "dtype", np.asarray(x).dtype))
             drift = [
-                f"{jax.tree_util.keystr(kp)}: saved "
-                f"{np.shape(r)}/{np.asarray(r).dtype} vs template "
-                f"{np.shape(t)}/{np.asarray(t).dtype}"
+                f"{jax.tree_util.keystr(kp)}: saved {sd(r)} vs "
+                f"template {sd(t)}"
                 for (kp, t), r in zip(
                     jax.tree_util.tree_leaves_with_path(template),
                     jax.tree_util.tree_leaves(tree))
-                if np.shape(r) != np.shape(t)
-                or np.asarray(r).dtype != np.asarray(t).dtype]
+                if sd(r) != sd(t)]
             if drift:
                 tree = self._migrate_restore(
                     path, template, f"shape/dtype drift: {drift[:4]}")
-        except ValueError:
-            raise
-        except Exception as strict_err:  # shape/dtype drift → migrate
-            tree = self._migrate_restore(path, template, strict_err)
         runner.params = tree["params"]
         runner.state = tree["state"]
         runner.opt_state = tree["opt_state"]
