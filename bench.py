@@ -81,6 +81,10 @@ CONFIGS = {
     # traffic, and bf16 only adds convert + stochastic-rounding work —
     # run NISER-shaped jobs in float32 (BENCH_NOTES.md round 4).
     "niser": dict(model="niser", batch=128, dim=64, layers=2, feat_drop=0.5),
+    # no reference script exists; the JAX 'srgnn' preset's NISER-like
+    # wiring (config.py) — completes the per-family throughput matrix
+    "srgnn": dict(model="srgnn", batch=128, dim=64, layers=2,
+                  feat_drop=0.5),
     # million-item catalog: the regime the catalog-axis design targets
     # (row-sharded table, fused CE streaming P in TILE_P tiles, streamed
     # eval).  Synthetic P=2^20 at NISER geometry; batch 512 amortises the
@@ -120,8 +124,12 @@ def synthetic_batches(cfg, n_batches, rng):
 
 
 def build_model(cfg, compute_dtype, table_dtype):
-    from sessionrec_tpu.models import LESSR, MSGIFSR, NISER
+    from sessionrec_tpu.models import LESSR, MSGIFSR, NISER, SRGNN
     num_items = cfg.get("items", NUM_ITEMS)
+    if cfg["model"] == "srgnn":
+        return SRGNN(num_items=num_items, embedding_dim=cfg["dim"],
+                     num_layers=cfg["layers"], feat_drop=cfg["feat_drop"],
+                     compute_dtype=compute_dtype, table_dtype=table_dtype)
     if cfg["model"] == "msgifsr":
         return MSGIFSR(num_items=num_items, embedding_dim=cfg["dim"],
                        num_layers=cfg["layers"], feat_drop=cfg["feat_drop"],
