@@ -222,6 +222,14 @@ def make_unrolled_train_step(model, tx, unroll: int, *, fused=True,
 _STREAM_EVAL_ELEMS = 1024 * 1024 * 1024
 
 
+def _auto_stream(batch_size: int, padded_items: int) -> bool:
+    """True when eval should stream instead of materialising [B, P]
+    (see _STREAM_EVAL_ELEMS — an OOM escape hatch, never a speed
+    optimisation; materialised measured faster at every size that
+    fits, including B=512 x P=2^20)."""
+    return batch_size * padded_items >= _STREAM_EVAL_ELEMS
+
+
 def _eval_ranks(model, params, state, batch, cutoff, streamed=None):
     """Label ranks for one eval batch.
 
@@ -233,9 +241,8 @@ def _eval_ranks(model, params, state, batch, cutoff, streamed=None):
     (tests/test_streamed_eval.py).
     """
     if streamed is None:
-        B = batch.labels.shape[0]
-        streamed = B * getattr(model, "padded_items", 0) \
-            >= _STREAM_EVAL_ELEMS
+        streamed = _auto_stream(batch.labels.shape[0],
+                                getattr(model, "padded_items", 0))
     if streamed and getattr(model, "has_plain_head", False):
         from sessionrec_tpu.ops.streamed_eval import streamed_topk_ranks
         sr, table, _ = model.head(params, state, batch, training=False,

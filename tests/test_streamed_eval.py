@@ -126,3 +126,15 @@ def test_eval_step_metrics_match():
     want = make_eval_step(model, streamed=False)(params, state, batch)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w))
+
+
+def test_auto_stream_policy():
+    """The auto-switch is an OOM hatch, not an optimisation: the 2^20
+    design point (537M logits elements — measured 7.8x faster
+    materialised, BENCH_NOTES round 4) must stay materialised; only
+    >= 1G elements streams."""
+    from sessionrec_tpu.train.runner import _auto_stream
+    assert not _auto_stream(512, 1 << 20)     # 537M: materialise
+    assert not _auto_stream(512, 37888)       # bench scale: materialise
+    assert _auto_stream(512, 1 << 22)         # 2.1G: stream
+    assert _auto_stream(2048, 1 << 20)        # 2.1G: stream
