@@ -17,14 +17,23 @@ from sessionrec_tpu.ops.masked import masked_mean, masked_softmax
 
 
 class RngGen:
-    """Splits a PRNG key on demand (trace-safe)."""
+    """Derives per-site PRNG keys on demand (trace-safe).
+
+    ``fold_in(key, counter)`` instead of a ``split`` chain: each site's
+    key depends only on (key, site index), so the ~6 per-step threefry
+    derivations are instruction-level parallel instead of a sequential
+    dependency chain (the chain profiled ~124 us/step on the headline
+    config — ILP-free scalar u32 ops).  Site keys remain independent
+    and deterministic; draws differ from the split-chain scheme, which
+    only reshuffles dropout masks (statistically identical)."""
 
     def __init__(self, key):
         self.key = key
+        self._i = 0
 
     def next(self):
-        self.key, sub = jax.random.split(self.key)
-        return sub
+        self._i += 1
+        return jax.random.fold_in(self.key, self._i)
 
 
 def cast_floats(tree, dtype):
