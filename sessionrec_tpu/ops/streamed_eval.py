@@ -9,13 +9,16 @@ in ``[TILE, D]`` slabs under ``lax.scan``: per slab the logits tile is
 reduced to its local top-k and merged into a running candidate set, so
 peak memory is ``[B, TILE]``.
 
-Role (measured, scripts/probe_eval.py on TPU v5e): at yoochoose-1/4
-scale the materialised path is 4.3x FASTER (3.6 vs 15.1 ms per
-B=512 eval batch) — one large top-k sort beats ~19 sequential per-slab
-top-k merges.  Streaming therefore engages only when the ``[B, P]``
-logits tensor itself becomes the problem (runner auto-switches above
-~128M logits elements, i.e. catalogs of ~1M items at B=512 — the
-regime a production catalog actually lives in).
+Role (measured, scripts/probe_eval.py / probe_rank.py on TPU v5e): the
+materialised path is faster at every size that fits (4.3x at
+yoochoose-1/4 scale; 1.4x at B=512 x P=2^20 once both sides rank by
+counting), so streaming engages only when the ``[B, P]`` logits tensor
+itself becomes the problem (runner auto-switches above ~1G logits
+elements — a >4 GB f32 tensor next to the resident table + moments).
+On the plain head the hatch ranks by COUNTING (streamed_count_ranks,
+11.7 ms/batch at P=2^20) — the top-k-merge form below (354 ms/batch
+there: thousands of sequential per-slab sorts) remains as the explicit
+rank_method="topk" A/B path and the template for the multi-order head.
 
 Written as plain XLA (scan + dot + top_k) rather than a Pallas kernel
 on purpose: the slab matmul already runs at MXU speed, `lax.top_k` over
@@ -113,6 +116,68 @@ def streamed_topk_ranks(sr, table, labels, *, num_items, k=20, scale=1.0,
             jnp.zeros((B, k), jnp.int32))
     (vals, idxs), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
     return _ranks_of(labels, idxs, vals)
+
+
+def streamed_count_ranks(sr, table, labels, *, num_items, k=20,
+                         normalize_table=False, compute_dtype=None,
+                         tile=TILE):
+    """``scoring.label_ranks_by_count`` without the ``[B, P]`` tensor.
+
+    Plain-head streamed ranking by counting (see
+    scoring.label_ranks_by_count for the tie argument): pass 1 walks the
+    catalog slabs only to pluck each label's own logit **from the slab
+    matmul itself** — a separate row-gathered dot product could differ
+    in the last ulp (different accumulation pattern) and break the
+    exact-tie comparison against the label's own column; pass 2 walks
+    the slabs again accumulating ``#{j : s_j > s_label}`` and the
+    stable-tie term.  No per-slab top-k merges at all — the reductions
+    fuse into the slab matmul's epilogue, so each pass runs at the
+    table-read floor (measured vs the merge-based streamed path in
+    scripts/probe_rank.py).
+    """
+    B = sr.shape[0]
+    table, P = _pad_table(table, tile)
+    n_tiles = P // tile
+    sr_c = sr.astype(compute_dtype) if compute_dtype is not None else sr
+    labels = labels.astype(jnp.int32)
+
+    def slab_logits(i):
+        tab = jax.lax.dynamic_slice_in_dim(table, i * tile, tile)
+        if normalize_table:
+            tab = _l2norm_f32(tab)
+        tab_c = tab.astype(compute_dtype) if compute_dtype is not None \
+            else tab
+        lo = jax.lax.dot_general(
+            sr_c, tab_c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [B, T]
+        col = i * tile + jnp.arange(tile)
+        return jnp.where(col[None, :] < num_items, lo, NEG_INF), col
+
+    def lv_body(carry, i):
+        lo, _ = slab_logits(i)
+        local = labels - i * tile
+        present = (local >= 0) & (local < tile)
+        got = jnp.take_along_axis(
+            lo, jnp.clip(local, 0, tile - 1)[:, None], axis=1)[:, 0]
+        return jnp.where(present, got, carry), None
+
+    lv, _ = jax.lax.scan(lv_body, jnp.full((B,), NEG_INF, jnp.float32),
+                         jnp.arange(n_tiles))
+
+    def count_body(carry, i):
+        gt, eq = carry
+        lo, col = slab_logits(i)
+        gt = gt + jnp.sum((lo > lv[:, None]).astype(jnp.int32), axis=1)
+        eq = eq + jnp.sum(((lo == lv[:, None])
+                           & (col[None, :] < labels[:, None]))
+                          .astype(jnp.int32), axis=1)
+        return (gt, eq), None
+
+    zeros = jnp.zeros((B,), jnp.int32)
+    (gt, eq), _ = jax.lax.scan(count_body, (zeros, zeros),
+                               jnp.arange(n_tiles))
+    rank = gt + eq + 1
+    return jnp.where(rank <= k, rank, 0)
 
 
 def streamed_multi_topk_ranks(sr, table, labels, iids, phi, alpha, *,

@@ -209,16 +209,17 @@ def make_unrolled_train_step(model, tx, unroll: int, *, fused=True,
 
 
 # Auto-streaming threshold: materialise [B, P] logits while they fit.
-# Measured on TPU v5e twice: at yoochoose-1/4 scale (B=512, P=37.5k,
-# scripts/probe_eval.py) the materialised path is 4.3x faster (3.6 vs
-# 15.1 ms/eval batch), and at the P=2^20 design point (B=512, 537M
-# logits elements, 1.07 GB bf16) it is still 7.8x faster (45.3 vs
-# 354.3 ms/batch, round 4) — one large top-k sort beats thousands of
-# sequential per-slab top-k merges under lax.scan at ANY size that
-# fits.  Streaming is therefore purely an out-of-memory escape hatch:
-# engage it only when the [B, P] logits tensor would claim a
-# significant fraction of a v5e chip's 16 GB HBM (4 GB f32 threshold;
-# eval runs alongside the resident table + Adam moments).
+# Measured on TPU v5e: the materialised path wins at every size that
+# fits — 4.3x at yoochoose-1/4 scale (3.6 vs 15.1 ms/eval batch,
+# scripts/probe_eval.py) and 1.4x at the P=2^20 design point with
+# counting ranks on both sides (8.3 vs 11.7 ms/batch, round 4) — so
+# streaming remains an out-of-memory escape hatch: engage it only when
+# the [B, P] logits tensor would claim a significant fraction of a v5e
+# chip's 16 GB HBM (4 GB f32 threshold; eval runs alongside the
+# resident table + Adam moments).  The hatch itself is no longer a
+# cliff: counting ranks (streamed_count_ranks) replaced the per-slab
+# top-k merges on the plain-head streamed path, taking it from 354 to
+# 11.7 ms/batch at P=2^20.
 _STREAM_EVAL_ELEMS = 1024 * 1024 * 1024
 
 
@@ -230,7 +231,23 @@ def _auto_stream(batch_size: int, padded_items: int) -> bool:
     return batch_size * padded_items >= _STREAM_EVAL_ELEMS
 
 
-def _eval_ranks(model, params, state, batch, cutoff, streamed=None):
+# Default rank method for the materialised eval path: counting
+# (ops/scoring.py:label_ranks_by_count — bit-identical ranks, no sort).
+# Measured on TPU v5e with the unrolled eval harness
+# (scripts/probe_rank.py): counting beats the catalog-sized lax.top_k
+# at BOTH measured scales — msgifsr-o1 (B=512, P=37.9k) 3.40 ->
+# 1.98 ms/eval-batch and niser-1m (B=512, P=2^20) 45.0 -> 17.7 — so
+# auto always counts; "topk" stays available as an explicit A/B knob.
+
+
+def _use_count_ranks(rank_method, batch_size: int, padded_items: int) -> bool:
+    if rank_method is not None:
+        return rank_method == "count"
+    return True
+
+
+def _eval_ranks(model, params, state, batch, cutoff, streamed=None,
+                rank_method=None):
     """Label ranks for one eval batch.
 
     ``streamed``: None (default) auto-selects — the materialised
@@ -239,14 +256,28 @@ def _eval_ranks(model, params, state, batch, cutoff, streamed=None):
     ``[B, P]`` tensor the reference materialises at train.py:45-53
     stops fitting comfortably.  Both paths produce identical ranks
     (tests/test_streamed_eval.py).
+
+    ``rank_method``: "topk" | "count" | None (auto, see
+    ``_COUNT_RANKS_ELEMS``) — how the materialised path turns the
+    ``[B, P]`` scores into label ranks.  Both methods return identical
+    ranks on any input (tests/test_scoring.py); "count" skips the
+    catalog-sized ``lax.top_k`` sort, which dominates eval wall-clock
+    at serving-scale catalogs.
     """
     if streamed is None:
         streamed = _auto_stream(batch.labels.shape[0],
                                 getattr(model, "padded_items", 0))
     if streamed and getattr(model, "has_plain_head", False):
-        from sessionrec_tpu.ops.streamed_eval import streamed_topk_ranks
+        from sessionrec_tpu.ops.streamed_eval import (streamed_count_ranks,
+                                                      streamed_topk_ranks)
         sr, table, _ = model.head(params, state, batch, training=False,
                                   rng=None)
+        if _use_count_ranks(rank_method, batch.labels.shape[0],
+                            getattr(model, "padded_items", 0)):
+            return streamed_count_ranks(
+                sr, table, batch.labels, num_items=model.num_items, k=cutoff,
+                normalize_table=getattr(model, "table_norm", False),
+                compute_dtype=model.cdt)
         return streamed_topk_ranks(
             sr, table, batch.labels, num_items=model.num_items, k=cutoff,
             scale=float(model.scale) if model.scale else 1.0,
@@ -263,17 +294,40 @@ def _eval_ranks(model, params, state, batch, cutoff, streamed=None):
             fusion=model.fusion, k=cutoff, scale=float(model.scale),
             normalize_table=getattr(model, "table_norm", False),
             compute_dtype=model.cdt)
-    log_probs, _ = model.apply(params, state, batch, training=False,
-                               rng=None)
-    return scoring.topk_ranks(log_probs, batch.labels, cutoff)
+    if getattr(model, "has_plain_head", False):
+        # Rank on raw masked logits: the plain-head ``apply`` is exactly
+        # ``log_softmax(mask(scale * sr @ tableT))`` (e.g. niser.py
+        # apply), and positive scaling + log_softmax are strictly
+        # monotone per row and tie-preserving, so label ranks are
+        # unchanged — the full-catalog softmax passes (2 extra
+        # reads+writes of the [B, P] tensor, dominant at serving-scale
+        # P) are skipped (tests/test_runner_unroll.py asserts metric
+        # equality with the apply path).
+        from sessionrec_tpu.models.layers import l2norm
+        sr, table, _ = model.head(params, state, batch, training=False,
+                                  rng=None)
+        if getattr(model, "table_norm", False):
+            table = l2norm(table)
+        logits = scoring.catalog_logits(sr, table, compute_dtype=model.cdt)
+        imask = scoring.item_mask(model.num_items, model.padded_items)
+        scores = jnp.where(imask.astype(bool), logits,
+                           jnp.float32(-jnp.inf))
+    else:
+        scores, _ = model.apply(params, state, batch, training=False,
+                                rng=None)
+    if _use_count_ranks(rank_method, batch.labels.shape[0],
+                        getattr(model, "padded_items", 0)):
+        return scoring.label_ranks_by_count(scores, batch.labels, cutoff)
+    return scoring.topk_ranks(scores, batch.labels, cutoff)
 
 
-def make_eval_step(model, cutoff=20, streamed=None):
+def make_eval_step(model, cutoff=20, streamed=None, rank_method=None):
     """Jitted eval step -> (hit_count, mrr_sum, num_valid) per batch."""
 
     def eval_step(params, state, batch):
         params = model.project_params(params)
-        ranks = _eval_ranks(model, params, state, batch, cutoff, streamed)
+        ranks = _eval_ranks(model, params, state, batch, cutoff, streamed,
+                            rank_method)
         v = batch.valid
         hit = jnp.sum((ranks > 0) * v)
         mrr = jnp.sum(jnp.where(ranks > 0, 1.0 / jnp.maximum(ranks, 1), 0.0)
@@ -284,7 +338,7 @@ def make_eval_step(model, cutoff=20, streamed=None):
 
 
 def make_unrolled_eval_step(model, cutoff=20, project=True,
-                            streamed=None):
+                            streamed=None, rank_method=None):
     """Jitted scan over a stacked chunk of eval batches -> summed
     (hit_count, mrr_sum, num_valid).  Padded all-invalid batches
     contribute zero.  ``project=False`` when the caller pre-projects the
@@ -297,7 +351,7 @@ def make_unrolled_eval_step(model, cutoff=20, project=True,
 
         def one(carry, batch):
             ranks = _eval_ranks(model, params, state, batch, cutoff,
-                                streamed)
+                                streamed, rank_method)
             v = batch.valid
             hit = jnp.sum((ranks > 0) * v)
             mrr = jnp.sum(jnp.where(ranks > 0,

@@ -121,6 +121,46 @@ def test_topk_ranks_matches_torch_eval():
         assert ranks[i] == want
 
 
+def test_label_ranks_by_count_matches_topk_with_ties():
+    """Counting ranks == lax.top_k ranks on tie-heavy inputs.
+
+    Quantised scores force many exact ties, exercising the stable tie
+    rule (equal values -> ascending index) that both lax.top_k and
+    torch.topk implement; the counting form must reproduce it exactly
+    (eval parity with the reference's evaluate(), train.py:45-53)."""
+    rng = np.random.default_rng(1)
+    for k in (1, 5, 20):
+        scores = np.round(rng.normal(size=(32, 64)) * 3) / 3
+        scores = scores.astype(np.float32)
+        labels = rng.integers(0, 64, size=32).astype(np.int32)
+        want = np.asarray(scoring.topk_ranks(jnp.asarray(scores),
+                                             jnp.asarray(labels), k))
+        got = np.asarray(scoring.label_ranks_by_count(jnp.asarray(scores),
+                                                      jnp.asarray(labels), k))
+        np.testing.assert_array_equal(got, want)
+    # torch.topk cross-check on tie-free data (torch's tie order is not
+    # guaranteed stable, but exact float ties are measure-zero in real
+    # logits; the reference protocol never hits one)
+    scores = rng.normal(size=(32, 64)).astype(np.float32)
+    labels = rng.integers(0, 64, size=32).astype(np.int32)
+    got = np.asarray(scoring.label_ranks_by_count(jnp.asarray(scores),
+                                                  jnp.asarray(labels), 20))
+    topk = torch.topk(torch.from_numpy(scores), k=20)[1].numpy()
+    for i in range(32):
+        pos = np.where(topk[i] == labels[i])[0]
+        assert got[i] == (pos[0] + 1 if len(pos) else 0)
+
+
+def test_label_ranks_by_count_padded_catalog():
+    """Padded NEG_INF columns never outrank a real label."""
+    lp = np.full((3, 8), -1e30, np.float32)
+    lp[:, :5] = np.asarray([[0.1, 0.5, 0.2, 0.4, 0.3]] * 3, np.float32)
+    labels = np.asarray([1, 4, 0], np.int32)
+    got = np.asarray(scoring.label_ranks_by_count(jnp.asarray(lp),
+                                                  jnp.asarray(labels), 3))
+    np.testing.assert_array_equal(got, [1, 3, 0])  # rank 5 > k -> 0
+
+
 def test_nll_loss_ignores_padded_rows():
     lp = jnp.log(jnp.full((4, 10), 0.1))
     labels = jnp.asarray([0, 1, 2, 3])

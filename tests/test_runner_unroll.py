@@ -149,3 +149,77 @@ def test_unrolled_eval_matches_per_batch():
     assert float(n1) == n2 == 5 * B
     np.testing.assert_allclose(float(h1), h2)
     np.testing.assert_allclose(float(m1), m2, rtol=1e-6)
+
+
+def test_eval_rank_methods_identical():
+    """rank_method="count" must reproduce the top-k eval bit-for-bit
+    (same hit / mrr / n) on a real model — "count" is the measured-on
+    default (runner._use_count_ranks), "topk" the reference-shaped A/B
+    knob, so the two must be interchangeable."""
+    batches = _batches(4, seed=9)
+    model, params, state, _ = _fresh()
+    out = {}
+    for method in ("topk", "count"):
+        ev = make_eval_step(model, cutoff=20, rank_method=method)
+        h = m = n = 0.0
+        for b in batches:
+            hh, mm, nn = ev(params, state, b)
+            h += float(hh)
+            m += float(mm)
+            n += float(nn)
+        out[method] = (h, m, n)
+    assert out["topk"] == out["count"]
+
+
+def test_eval_head_fastpath_matches_apply_path():
+    """The plain-head eval fast path (raw masked logits, no log_softmax)
+    must produce the same ranks as ranking model.apply's log-probs —
+    log_softmax and positive scaling are monotone and tie-preserving, so
+    hit/mrr/n agree exactly."""
+    from sessionrec_tpu.ops import scoring
+    from sessionrec_tpu.models import LESSR, MSGIFSR
+    from sessionrec_tpu.graph.batch import CcsBatch, CcsLevel, LessrBatch
+
+    rng = np.random.default_rng(11)
+    seqs = [list(rng.integers(0, NUM_ITEMS,
+                              size=rng.integers(1, MAX_LEN + 1)))
+            for _ in range(B)]
+    labels = list(rng.integers(0, NUM_ITEMS, size=B))
+
+    cases = []
+    model, params, state, _ = _fresh()          # NISER (table_norm)
+    d = builders.build_session_batch(seqs, labels, MAX_LEN, B)
+    cases.append((model, params, state, SessionGraphBatch(**d)))
+
+    model = LESSR(num_items=NUM_ITEMS, embedding_dim=16, num_layers=2,
+                  feat_drop=0.0)
+    params, state = model.init(jax.random.PRNGKey(2))
+    d = builders.build_lessr_batch(seqs, labels, MAX_LEN, B)
+    cases.append((model, params, state, LessrBatch(**d)))
+
+    model = MSGIFSR(num_items=NUM_ITEMS, embedding_dim=16, num_layers=1,
+                    order=1, feat_drop=0.0)     # plain head (no REnorm)
+    params, state = model.init(jax.random.PRNGKey(3))
+    d = builders.build_ccs_batch(seqs, labels, 1, MAX_LEN, B)
+    batch = CcsBatch(levels=tuple(CcsLevel(**lv) for lv in d["levels"]),
+                     inter_in=tuple(d["inter_in"]),
+                     inter_out=tuple(d["inter_out"]),
+                     labels=d["labels"], valid=d["valid"])
+    cases.append((model, params, state, batch))
+
+    for model, params, state, batch in cases:
+        assert model.has_plain_head
+        ev = make_eval_step(model, cutoff=20)
+        h, m, n = ev(params, state, batch)
+        # oracle: the reference-shaped path — full log-probs + top-k
+        pp = model.project_params(params)
+        log_probs, _ = model.apply(pp, state, batch, training=False,
+                                   rng=None)
+        ranks = scoring.topk_ranks(log_probs, batch.labels, 20)
+        v = batch.valid
+        want_h = float(jnp.sum((ranks > 0) * v))
+        want_m = float(jnp.sum(jnp.where(
+            ranks > 0, 1.0 / jnp.maximum(ranks, 1), 0.0) * v))
+        assert float(h) == want_h, type(model).__name__
+        np.testing.assert_allclose(float(m), want_m, rtol=1e-6,
+                                   err_msg=type(model).__name__)

@@ -16,7 +16,8 @@ from sessionrec_tpu.graph.batch import (CcsBatch, CcsLevel, LessrBatch,
                                         SessionGraphBatch)
 from sessionrec_tpu.models import LESSR, MSGIFSR, NISER, SRGNN
 from sessionrec_tpu.ops import scoring
-from sessionrec_tpu.ops.streamed_eval import (streamed_multi_topk_ranks,
+from sessionrec_tpu.ops.streamed_eval import (streamed_count_ranks,
+                                              streamed_multi_topk_ranks,
                                               streamed_topk_ranks)
 from sessionrec_tpu.train.runner import make_eval_step
 
@@ -138,3 +139,44 @@ def test_auto_stream_policy():
     assert not _auto_stream(512, 37888)       # bench scale: materialise
     assert _auto_stream(512, 1 << 22)         # 2.1G: stream
     assert _auto_stream(2048, 1 << 20)        # 2.1G: stream
+
+
+def test_streamed_count_matches_global_with_ties():
+    """streamed_count_ranks == materialised counting == global top-k on a
+    score matrix with exact ties straddling slab edges (same fixture as
+    the merge-path test)."""
+    P, k, tile = 1300, 5, 512
+    rng = np.random.default_rng(0)
+    table = rng.standard_normal((P, 16)).astype(np.float32)
+    table[600] = table[3]
+    table[1100] = table[3]
+    sr = rng.standard_normal((4, 16)).astype(np.float32)
+    labels = jnp.asarray([3, 600, 1100, 5])
+    logits = jnp.asarray(sr @ table.T)
+    want = scoring.topk_ranks(logits, labels, k)
+    got = streamed_count_ranks(jnp.asarray(sr), jnp.asarray(table), labels,
+                               num_items=P, k=k, tile=tile)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("model_f,kind", [
+    (lambda: NISER(num_items=NUM_ITEMS, embedding_dim=16, num_layers=1),
+     "session"),
+    (lambda: LESSR(num_items=NUM_ITEMS, embedding_dim=16, num_layers=2),
+     "lessr"),
+])
+def test_streamed_count_plain_head_models_match(model_f, kind):
+    rng = np.random.default_rng(2)
+    model = model_f()
+    batch = _batch(rng, kind)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params = model.project_params(params)
+    log_probs, _ = model.apply(params, state, batch, training=False,
+                               rng=None)
+    want = scoring.topk_ranks(log_probs, batch.labels, 20)
+    sr, table, _ = model.head(params, state, batch, training=False,
+                              rng=None)
+    got = streamed_count_ranks(
+        sr, table, batch.labels, num_items=model.num_items, k=20,
+        normalize_table=getattr(model, "table_norm", False), tile=512)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
