@@ -4,11 +4,13 @@ GSPMD strategy: parameters and batches are placed with explicit
 ``NamedSharding``s (mesh.py) and the *same* pure step functions used
 single-chip are jit-compiled against them; XLA inserts the collectives —
 grad psum over ``data``, all-gather/psum for the row-sharded embedding
-lookups and the column-sharded catalog softmax.  ``sharded_topk`` is a
-hand-written shard_map fast path for distributed top-k: local
-``lax.top_k`` per catalog shard, then a tiny all-gather of k candidates
-per shard and a final top-k — instead of all-gathering the whole
-``[B, num_items]`` logits row.
+lookups and the column-sharded catalog softmax.  Distributed eval
+ranking defaults to ``sharded_count_ranks`` — per-shard label-rank
+counting merged by three tiny ``psum``s (see
+scoring.label_ranks_by_count for the tie argument) — with
+``sharded_topk`` (local ``lax.top_k`` per catalog shard + an
+all-gather of k candidates per shard and a final top-k) kept as the
+``rank_method="topk"`` A/B path.
 """
 
 from __future__ import annotations
@@ -362,23 +364,70 @@ def sharded_topk(mesh, log_probs, k: int):
     )(log_probs)
 
 
-def _topk_metrics(mesh, log_probs, labels, valid, cutoff):
-    """(hit_count, mrr_sum, n_valid) of one batch via distributed top-k."""
+def sharded_count_ranks(mesh, scores, labels, k: int):
+    """Distributed label ranks by counting (catalog-sharded scores).
+
+    The mesh form of ``scoring.label_ranks_by_count``: each model shard
+    counts ``#{j local : s_j > s_label}`` plus the stable-tie term
+    against GLOBAL column ids, and three tiny ``psum``s over ``model``
+    replace ``sharded_topk``'s two ``[B, k * n_shards]`` all-gathers +
+    local sorts — the label's own score is plucked from the shard that
+    owns its column (psum of one bitwise-exact contribution + zeros),
+    so ties resolve identically to a global ``lax.top_k``
+    (tests/test_runner_sharded.py).
+    """
+    def local(sc, lab):
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        p_local = sc.shape[-1]
+        lab = lab.astype(jnp.int32)
+        local_lab = lab - shard * p_local
+        present = (local_lab >= 0) & (local_lab < p_local)
+        got = jnp.take_along_axis(
+            sc, jnp.clip(local_lab, 0, p_local - 1)[:, None], axis=1)[:, 0]
+        lv = jax.lax.psum(jnp.where(present, got, 0.0), MODEL_AXIS)
+        gcol = shard * p_local + jnp.arange(p_local)
+        gt = jax.lax.psum(
+            jnp.sum((sc > lv[:, None]).astype(jnp.int32), axis=1),
+            MODEL_AXIS)
+        eq = jax.lax.psum(
+            jnp.sum(((sc == lv[:, None]) & (gcol[None, :] < lab[:, None]))
+                    .astype(jnp.int32), axis=1), MODEL_AXIS)
+        rank = gt + eq + 1
+        return jnp.where(rank <= k, rank, 0)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, MODEL_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )(scores, labels)
+
+
+def _topk_metrics(mesh, log_probs, labels, valid, cutoff,
+                  rank_method=None):
+    """(hit_count, mrr_sum, n_valid) of one batch over the sharded
+    scores.  ``rank_method`` as in runner._eval_ranks: "count" (default
+    via auto) psums per-shard counts; "topk" keeps the candidate-merge
+    ``sharded_topk`` as the A/B path."""
     log_probs = jax.lax.with_sharding_constraint(
         log_probs, NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)))
-    _, idx = sharded_topk(mesh, log_probs, cutoff)
-    hit = idx == labels[:, None]
-    rank = jnp.argmax(hit, axis=-1) + 1
-    ranks = jnp.where(jnp.any(hit, axis=-1), rank, 0)
+    if rank_method != "topk":
+        ranks = sharded_count_ranks(mesh, log_probs, labels, cutoff)
+    else:
+        _, idx = sharded_topk(mesh, log_probs, cutoff)
+        hit = idx == labels[:, None]
+        rank = jnp.argmax(hit, axis=-1) + 1
+        ranks = jnp.where(jnp.any(hit, axis=-1), rank, 0)
     hit_c = jnp.sum((ranks > 0) * valid)
     mrr = jnp.sum(jnp.where(ranks > 0, 1.0 / jnp.maximum(ranks, 1), 0.0)
                   * valid)
     return hit_c, mrr, jnp.sum(valid)
 
 
-def make_sharded_unrolled_eval_step(model, mesh, cutoff=20, project=True):
+def make_sharded_unrolled_eval_step(model, mesh, cutoff=20, project=True,
+                                    rank_method=None):
     """Mesh counterpart of runner.make_unrolled_eval_step: scan over a
-    stacked chunk of eval batches, per-batch distributed top-k over the
+    stacked chunk of eval batches, per-batch distributed ranks over the
     catalog shards, summed (hit, mrr, n)."""
 
     def eval_chunk(params, state, batches):
@@ -389,7 +438,7 @@ def make_sharded_unrolled_eval_step(model, mesh, cutoff=20, project=True):
             log_probs, _ = model.apply(params, state, batch, training=False,
                                        rng=None)
             hit, mrr, n = _topk_metrics(mesh, log_probs, batch.labels,
-                                        batch.valid, cutoff)
+                                        batch.valid, cutoff, rank_method)
             h, m, c = carry
             return (h + hit, m + mrr, c + n), None
 
@@ -400,14 +449,15 @@ def make_sharded_unrolled_eval_step(model, mesh, cutoff=20, project=True):
     return jax.jit(eval_chunk)
 
 
-def make_sharded_eval_step(model, mesh, cutoff=20):
-    """Eval step whose top-k uses the shard_map candidate-merge path."""
+def make_sharded_eval_step(model, mesh, cutoff=20, rank_method=None):
+    """Eval step ranking over the catalog shards (counting by default,
+    candidate-merge top-k via ``rank_method="topk"``)."""
 
     def eval_step(params, state, batch):
         params = model.project_params(params)
         log_probs, _ = model.apply(params, state, batch, training=False,
                                    rng=None)
         return _topk_metrics(mesh, log_probs, batch.labels, batch.valid,
-                             cutoff)
+                             cutoff, rank_method)
 
     return jax.jit(eval_step)

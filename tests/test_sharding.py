@@ -90,3 +90,49 @@ def test_sharded_eval_step_counts():
     assert float(n) == 8
     assert 0 <= float(hit) <= 8
     assert 0 <= float(mrr) <= float(hit)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_count_ranks_matches_dense_topk():
+    """Counting ranks over catalog shards == one global lax.top_k,
+    ties included (engineered equal columns straddling shards)."""
+    from sessionrec_tpu.ops import scoring
+    mesh = M.make_mesh(data=4, model=2)
+    rng = np.random.default_rng(3)
+    lp = np.round(rng.normal(size=(16, 256)) * 10) / 10    # many exact ties
+    lp = lp.astype(np.float32)
+    lp[:, 200] = lp[:, 7]                                  # cross-shard tie
+    labels = rng.integers(0, 256, size=16).astype(np.int32)
+    labels[0], labels[1] = 7, 200
+    lp_sharded = jax.device_put(
+        jnp.asarray(lp),
+        jax.NamedSharding(mesh, P(M.DATA_AXIS, M.MODEL_AXIS)))
+    got = S.sharded_count_ranks(mesh, lp_sharded, jnp.asarray(labels), 20)
+    want = scoring.topk_ranks(jnp.asarray(lp), jnp.asarray(labels), 20)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_eval_rank_methods_identical():
+    """Mesh eval metrics agree between the counting default and the
+    candidate-merge top-k A/B path, and with the single-device eval."""
+    from sessionrec_tpu.train.runner import make_eval_step
+    model = NISER(num_items=NUM_ITEMS, embedding_dim=32, num_layers=1,
+                  feat_drop=0.0)
+    mesh = M.make_mesh(data=4, model=2)
+    tx = make_optimizer(model.init(jax.random.PRNGKey(0))[0], 1e-3, 1e-4, 10)
+    params, state, _ = S.init_sharded(model, tx, mesh, jax.random.PRNGKey(0))
+    batch = _batch()
+    placed = S.place_batch(mesh, batch)
+    outs = []
+    for method in (None, "count", "topk"):
+        ev = S.make_sharded_eval_step(model, mesh, cutoff=20,
+                                      rank_method=method)
+        hit, mrr, n = ev(params, state, placed)
+        outs.append((float(hit), round(float(mrr), 6), float(n)))
+    assert outs[0] == outs[1] == outs[2]
+    # single-device oracle on gathered params
+    host_params = jax.tree_util.tree_map(np.asarray, params)
+    ev1 = make_eval_step(model, cutoff=20)
+    hit, mrr, n = ev1(host_params, state, batch)
+    assert (float(hit), round(float(mrr), 6), float(n)) == outs[0]
