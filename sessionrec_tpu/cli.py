@@ -130,6 +130,42 @@ def cmd_preprocess(args):
     pp.run(args.dataset, args.input, args.output_dir)
 
 
+def cmd_predict(args):
+    """Serve top-k recommendations from a checkpoint (serving.py — a
+    capability the reference lacks; it never persists or serves a
+    model)."""
+    from sessionrec_tpu.data.io import max_session_len, read_dataset, \
+        read_sessions
+    from sessionrec_tpu.models import build_model
+    from sessionrec_tpu import serving
+
+    if not args.checkpoint_dir:
+        sys.exit("predict requires --checkpoint-dir (a directory written "
+                 "by train --checkpoint-dir)")
+    cfg = build_config(args)
+    train_sessions, test_sessions, num_items = read_dataset(
+        args.dataset_dir)
+    sessions = (read_sessions(args.sessions_file) if args.sessions_file
+                else test_sessions)
+    max_len = cfg.data.max_len or max(max_session_len(train_sessions),
+                                      max_session_len(test_sessions))
+    model = build_model(cfg.model, num_items)
+    params, state = serving.restore_params(model, args.checkpoint_dir)
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        for sess, ids, scores in serving.recommend(
+                model, params, state, sessions, max_len=max_len,
+                k=args.k, batch_size=cfg.data.batch_size,
+                method=args.topk_method, recall_target=args.recall_target,
+                order=cfg.model.order):
+            out.write(json.dumps({"session": sess, "items": ids,
+                                  "scores": [round(s, 4) for s in scores]})
+                      + "\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="sessionrec_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -142,11 +178,28 @@ def main(argv=None):
     pp.add_argument("--input", required=True,
                     help="raw csv/dat file (or dir for yoochoose stage 2)")
     pp.add_argument("--output-dir", required=True)
+    pr = sub.add_parser(
+        "predict", help="serve top-k recommendations from a checkpoint")
+    _add_train_flags(pr)   # model geometry + --dataset-dir + --checkpoint-dir
+    pr.add_argument("--sessions-file", default=None,
+                    help="sessions to score, one comma-joined id list per "
+                         "line (default: the dataset's test split)")
+    pr.add_argument("--k", type=int, default=20)
+    pr.add_argument("--output", default=None,
+                    help="JSONL output path (default: stdout)")
+    pr.add_argument("--topk-method", default="exact",
+                    choices=["exact", "approx"],
+                    help="approx = TPU lax.approx_max_k; bounded-recall, "
+                         "much faster on million-item catalogs "
+                         "(BENCH_NOTES.md)")
+    pr.add_argument("--recall-target", type=float, default=0.95)
     args = parser.parse_args(argv)
     if args.cmd == "train":
         cmd_train(args)
     elif args.cmd == "preprocess":
         cmd_preprocess(args)
+    elif args.cmd == "predict":
+        cmd_predict(args)
 
 
 if __name__ == "__main__":

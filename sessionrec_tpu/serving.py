@@ -1,0 +1,148 @@
+"""Inference / serving: top-k item recommendations from a checkpoint.
+
+The reference has no serving surface — training and metric evaluation
+only (src/utils/train.py:36-127; top-k indices are computed and
+discarded at train.py:45-53).  This module closes that gap: restore a
+trained model from an orbax checkpoint and emit the actual top-k item
+ids per session, batched and jitted.
+
+Serving semantics differ from eval on purpose: each input session is
+scored ONCE in full (the next-item continuation a recommender actually
+serves), not expanded into the per-prefix examples the training
+protocol uses (data/augment.py).  Sessions longer than ``max_len`` keep
+their most recent items, matching the trainer's ``--max-len`` rule.
+
+Top-k method: ``exact`` is ``lax.top_k`` over the full catalog;
+``approx`` is TPU's ``lax.approx_max_k`` (the hardware PartialReduce),
+which trades a bounded recall target for a large speedup on
+serving-scale catalogs — measured numbers and guidance in
+BENCH_NOTES.md (round 4 serving section).  Scores returned are raw
+catalog logits (rank-equivalent to the model's log-probabilities:
+positive scaling and log_softmax are monotone per row).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sessionrec_tpu.graph import builders
+from sessionrec_tpu.graph.batch import (CcsBatch, CcsLevel, LessrBatch,
+                                        SessionGraphBatch)
+from sessionrec_tpu.ops import scoring
+from sessionrec_tpu.ops.masked import NEG_INF
+from sessionrec_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+_KIND = {"srgnn": "session", "niser": "session", "lessr": "lessr",
+         "msgifsr": "ccs"}
+
+
+def restore_params(model, checkpoint_dir, *, lr=1e-3, weight_decay=1e-4):
+    """(params, state) from the latest checkpoint in ``checkpoint_dir``.
+
+    Builds the same restore template the trainer saves (params, model
+    state, optimizer state, PRNG stream) so sharded checkpoints restore
+    cleanly, then discards everything inference does not need.
+    """
+    from sessionrec_tpu.train.optim import make_optimizer
+    from sessionrec_tpu.utils.checkpoint import Checkpointer
+
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(params, lr=lr, weight_decay=weight_decay,
+                        steps_per_epoch=1)
+
+    class _Slot:  # duck-typed runner for Checkpointer.restore_latest
+        pass
+
+    slot = _Slot()
+    slot.params, slot.state = params, state
+    slot.opt_state = tx.init(params)
+    slot.step_key = jax.random.PRNGKey(0)
+    ckpt = Checkpointer(checkpoint_dir)
+    if not ckpt.restore_latest(slot):
+        raise FileNotFoundError(
+            f"no checkpoint found in {checkpoint_dir}")
+    return slot.params, slot.state
+
+
+def session_batches(sessions, kind, batch_size, max_len, order=1):
+    """Fixed-shape inference batches: one row per FULL session (no
+    prefix augmentation), labels zeroed, tail batch padded invalid."""
+    for start in range(0, len(sessions), batch_size):
+        chunk = [list(s[-max_len:]) for s in
+                 sessions[start:start + batch_size]]
+        n = len(chunk)
+        chunk += [[0]] * (batch_size - n)
+        labels = [0] * batch_size
+        if kind == "ccs":
+            d = builders.build_ccs_batch(chunk, labels, order, max_len,
+                                         batch_size)
+            batch = CcsBatch(
+                levels=tuple(CcsLevel(**lv) for lv in d["levels"]),
+                inter_in=tuple(d["inter_in"]),
+                inter_out=tuple(d["inter_out"]),
+                labels=d["labels"], valid=d["valid"])
+        elif kind == "lessr":
+            batch = LessrBatch(
+                **builders.build_lessr_batch(chunk, labels, max_len,
+                                             batch_size))
+        else:
+            batch = SessionGraphBatch(
+                **builders.build_session_batch(chunk, labels, max_len,
+                                               batch_size))
+        # rows beyond the real sessions are serving padding
+        valid = np.zeros(batch_size, np.float32)
+        valid[:n] = 1.0
+        yield batch.replace(valid=jnp.asarray(valid)), n
+
+
+def make_recommend_step(model, k=20, method="exact", recall_target=0.95):
+    """Jitted (params, state, batch) -> (scores [B, k], item_ids [B, k]).
+
+    Plain-head models score raw masked logits straight from
+    ``model.head`` (no full-catalog softmax — rank-equivalent, see
+    module docstring); multi-order MSGIFSR scores its fused
+    REnorm/fusion log-probs via ``model.apply``.
+    """
+    def step(params, state, batch):
+        params = model.project_params(params)
+        if getattr(model, "has_plain_head", False):
+            from sessionrec_tpu.models.layers import l2norm
+            sr, table, _ = model.head(params, state, batch,
+                                      training=False, rng=None)
+            if getattr(model, "table_norm", False):
+                table = l2norm(table)
+            logits = scoring.catalog_logits(sr, table,
+                                            compute_dtype=model.cdt)
+            imask = scoring.item_mask(model.num_items, model.padded_items)
+            scores = jnp.where(imask.astype(bool), logits, NEG_INF)
+        else:
+            scores, _ = model.apply(params, state, batch, training=False,
+                                    rng=None)
+        if method == "approx":
+            return jax.lax.approx_max_k(scores, k,
+                                        recall_target=recall_target)
+        return jax.lax.top_k(scores, k)
+
+    return jax.jit(step)
+
+
+def recommend(model, params, state, sessions, *, max_len, k=20,
+              batch_size=256, method="exact", recall_target=0.95,
+              order=1):
+    """Yield (session, top-k item ids, scores) for each input session."""
+    step = make_recommend_step(model, k=k, method=method,
+                               recall_target=recall_target)
+    kind = _KIND[type(model).__name__.lower()]
+    done = 0
+    for batch, n in session_batches(sessions, kind, batch_size, max_len,
+                                    order=order):
+        vals, ids = step(params, state, batch)
+        vals = np.asarray(vals)[:n]
+        ids = np.asarray(ids)[:n]
+        for i in range(n):
+            yield sessions[done + i], ids[i].tolist(), vals[i].tolist()
+        done += n

@@ -1,0 +1,70 @@
+"""Serving path: checkpoint -> batched top-k recommendations.
+
+The reference has no inference surface (top-k indices are computed and
+discarded, train.py:45-53); serving.py adds one.  These tests train a
+tiny model with checkpointing, then drive `cli predict` end-to-end and
+check the recommendation contract (exact == global top-k of the model's
+log-probs; approx returns k valid ids)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sessionrec_tpu import serving
+from sessionrec_tpu.cli import main
+from sessionrec_tpu.graph import builders
+from sessionrec_tpu.graph.batch import SessionGraphBatch
+from sessionrec_tpu.models import NISER
+from sessionrec_tpu.ops import scoring
+
+
+def test_recommend_exact_matches_apply_topk():
+    """Exact serving ids == top-k of model.apply's log-probs on full
+    sessions (the raw-logit fast path is rank-equivalent)."""
+    model = NISER(num_items=60, embedding_dim=16, num_layers=1,
+                  feat_drop=0.0)
+    params, state = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    sessions = [list(rng.integers(0, 60, size=rng.integers(1, 6)))
+                for _ in range(7)]
+    got = list(serving.recommend(model, params, state, sessions,
+                                 max_len=6, k=10, batch_size=4))
+    assert len(got) == 7
+    pp = model.project_params(params)
+    for sess, ids, scores in got:
+        batch = SessionGraphBatch(**builders.build_session_batch(
+            [list(sess)], [0], 6, 1))
+        lp, _ = model.apply(pp, state, batch, training=False, rng=None)
+        _, want = jax.lax.top_k(lp[0], 10)
+        np.testing.assert_array_equal(np.asarray(ids),
+                                      np.asarray(want))
+        assert all(0 <= i < 60 for i in ids)
+        # scores descend
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+@pytest.mark.slow
+def test_cli_train_then_predict(tmp_path):
+    ckpt = tmp_path / "ckpt"
+    main(["train", "--model", "niser", "--dataset-dir", "datasets/sample",
+          "--epochs", "1", "--max-epoch-batches", "4",
+          "--batch-size", "64", "--embedding-dim", "16",
+          "--checkpoint-dir", str(ckpt), "--log-interval", "4"])
+    out = tmp_path / "recs.jsonl"
+    sess_file = tmp_path / "sessions.txt"
+    sess_file.write_text("5,9,5\n31,7\n")
+    for method in ("exact", "approx"):
+        main(["predict", "--model", "niser", "--dataset-dir",
+              "datasets/sample", "--embedding-dim", "16",
+              "--checkpoint-dir", str(ckpt),
+              "--sessions-file", str(sess_file), "--k", "5",
+              "--topk-method", method, "--output", str(out)])
+        recs = [json.loads(l) for l in out.read_text().splitlines()]
+        assert [r["session"] for r in recs] == [[5, 9, 5], [31, 7]]
+        for r in recs:
+            assert len(r["items"]) == 5 and len(r["scores"]) == 5
+            assert all(isinstance(i, int) for i in r["items"])
