@@ -180,17 +180,13 @@ def streamed_count_ranks(sr, table, labels, *, num_items, k=20,
     return jnp.where(rank <= k, rank, 0)
 
 
-def streamed_multi_topk_ranks(sr, table, labels, iids, phi, alpha, *,
-                              num_items, extra, fusion, k=20, scale=12.0,
-                              normalize_table=True, compute_dtype=None,
-                              tile=TILE):
-    """Label ranks for MSGIFSR's REnorm/fusion head (msgifsr.py:283-317)
-    without materialising ``[B, K, P]`` scores.
-
-    Inputs mirror ``model.head_multi``: ``sr [B, K, d]``, raw ``table``,
-    ``phi [B, K, 2]`` or None, ``alpha [K]``, ``iids [B, N]`` level-1
-    session items with -1 padding.
-    """
+def _multi_ctx(sr, table, iids, phi, alpha, *, num_items, extra, fusion,
+               scale, normalize_table, compute_dtype, tile):
+    """Shared machinery of the multi-order streamed rankers: slab logits,
+    REnorm part masks, the two-part LSE stats pass, and the per-slab
+    blended-score function (identical float ops in every caller, so the
+    counting ranker's label score is bitwise the score pass-2 computes
+    at that column)."""
     B, K, _ = sr.shape
     table, P = _pad_table(table, tile)
     n_tiles = P // tile
@@ -249,10 +245,8 @@ def streamed_multi_topk_ranks(sr, table, labels, iids, phi, alpha, *,
     else:
         w = jnp.zeros((K,), jnp.float32).at[0].set(1.0)    # score[:, 0]
 
-    # pass 2: blended score per slab + running top-k merge
-    def score_body(carry, i):
-        vals, idxs = carry
-        lo, col, imask = slab_logits(i)
+    def fused_score(lo, col, imask):
+        """Blended REnorm/fusion score of one slab -> [B, T]."""
         score = jnp.zeros(lo.shape, jnp.float32)
         for p_i, pmask in enumerate(part_masks(col, imask)):
             part = jnp.where(pmask[:, None, :],
@@ -263,7 +257,34 @@ def streamed_multi_topk_ranks(sr, table, labels, iids, phi, alpha, *,
             gate = phi[..., p_i:p_i + 1] if extra else 1.0
             score = score + gate * part
         fused = jnp.einsum("bkt,k->bt", score, w)
-        fused = jnp.where(imask, fused, NEG_INF)           # padded items out
+        return jnp.where(imask, fused, NEG_INF)            # padded items out
+
+    return B, n_tiles, slab_logits, fused_score
+
+
+def streamed_multi_topk_ranks(sr, table, labels, iids, phi, alpha, *,
+                              num_items, extra, fusion, k=20, scale=12.0,
+                              normalize_table=True, compute_dtype=None,
+                              tile=TILE):
+    """Label ranks for MSGIFSR's REnorm/fusion head (msgifsr.py:283-317)
+    without materialising ``[B, K, P]`` scores, via per-slab top-k
+    merges (the ``rank_method="topk"`` A/B path; counting below is the
+    default).
+
+    Inputs mirror ``model.head_multi``: ``sr [B, K, d]``, raw ``table``,
+    ``phi [B, K, 2]`` or None, ``alpha [K]``, ``iids [B, N]`` level-1
+    session items with -1 padding.
+    """
+    B, n_tiles, slab_logits, fused_score = _multi_ctx(
+        sr, table, iids, phi, alpha, num_items=num_items, extra=extra,
+        fusion=fusion, scale=scale, normalize_table=normalize_table,
+        compute_dtype=compute_dtype, tile=tile)
+
+    # pass 2: blended score per slab + running top-k merge
+    def score_body(carry, i):
+        vals, idxs = carry
+        lo, col, imask = slab_logits(i)
+        fused = fused_score(lo, col, imask)
         tv, ti = jax.lax.top_k(fused, k)
         carry = _merge_topk(vals, idxs, tv, ti + i * tile, k)
         return carry, None
@@ -272,3 +293,57 @@ def streamed_multi_topk_ranks(sr, table, labels, iids, phi, alpha, *,
             jnp.zeros((B, k), jnp.int32))
     (vals, idxs), _ = jax.lax.scan(score_body, init, jnp.arange(n_tiles))
     return _ranks_of(labels, idxs, vals)
+
+
+def streamed_multi_count_ranks(sr, table, labels, iids, phi, alpha, *,
+                               num_items, extra, fusion, k=20, scale=12.0,
+                               normalize_table=True, compute_dtype=None,
+                               tile=TILE):
+    """Counting form of the multi-order streamed ranker (the default —
+    no per-slab sorts; see scoring.label_ranks_by_count for the tie
+    argument).
+
+    Same two streaming passes as the top-k form: pass 1 (inside
+    ``_multi_ctx``) accumulates the LSE stats, pass 2 forms each slab's
+    blended score with the IDENTICAL float ops and (a) plucks the
+    label's own fused score from the slab that owns its column, (b)
+    counts strictly-greater scores and the stable-tie term.  The
+    label's score therefore compares bitwise-equal against its own
+    column, so ranks match the materialised path exactly, ties included
+    (tests/test_streamed_eval.py).  Counting needs the label score
+    BEFORE the comparisons, so (a) runs as its own cheap scan over the
+    already-computed stats — the slab matmul dominates both.
+    """
+    B, n_tiles, slab_logits, fused_score = _multi_ctx(
+        sr, table, iids, phi, alpha, num_items=num_items, extra=extra,
+        fusion=fusion, scale=scale, normalize_table=normalize_table,
+        compute_dtype=compute_dtype, tile=tile)
+    labels = labels.astype(jnp.int32)
+
+    def lv_body(carry, i):
+        lo, col, imask = slab_logits(i)
+        fused = fused_score(lo, col, imask)
+        local = labels - i * tile
+        present = (local >= 0) & (local < tile)
+        got = jnp.take_along_axis(
+            fused, jnp.clip(local, 0, tile - 1)[:, None], axis=1)[:, 0]
+        return jnp.where(present, got, carry), None
+
+    lv, _ = jax.lax.scan(lv_body, jnp.full((B,), NEG_INF, jnp.float32),
+                         jnp.arange(n_tiles))
+
+    def count_body(carry, i):
+        gt, eq = carry
+        lo, col, imask = slab_logits(i)
+        fused = fused_score(lo, col, imask)
+        gt = gt + jnp.sum((fused > lv[:, None]).astype(jnp.int32), axis=1)
+        eq = eq + jnp.sum(((fused == lv[:, None])
+                           & (col[None, :] < labels[:, None]))
+                          .astype(jnp.int32), axis=1)
+        return (gt, eq), None
+
+    zeros = jnp.zeros((B,), jnp.int32)
+    (gt, eq), _ = jax.lax.scan(count_body, (zeros, zeros),
+                               jnp.arange(n_tiles))
+    rank = gt + eq + 1
+    return jnp.where(rank <= k, rank, 0)

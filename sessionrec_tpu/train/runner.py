@@ -223,12 +223,17 @@ def make_unrolled_train_step(model, tx, unroll: int, *, fused=True,
 _STREAM_EVAL_ELEMS = 1024 * 1024 * 1024
 
 
-def _auto_stream(batch_size: int, padded_items: int) -> bool:
-    """True when eval should stream instead of materialising [B, P]
-    (see _STREAM_EVAL_ELEMS — an OOM escape hatch, never a speed
+def _auto_stream(batch_size: int, padded_items: int,
+                 score_rows: int = 1) -> bool:
+    """True when eval should stream instead of materialising the score
+    tensor (see _STREAM_EVAL_ELEMS — an OOM escape hatch, never a speed
     optimisation; materialised measured faster at every size that
-    fits, including B=512 x P=2^20)."""
-    return batch_size * padded_items >= _STREAM_EVAL_ELEMS
+    fits, including B=512 x P=2^20).  ``score_rows`` is the per-example
+    score-tensor multiplier: K for MSGIFSR's multi-order ``[B, K, P]``
+    logits (its REnorm/fusion apply also materialises per-split softmax
+    tensors of the same size, so K understates the true footprint —
+    conservatively correct for the threshold's purpose)."""
+    return batch_size * score_rows * padded_items >= _STREAM_EVAL_ELEMS
 
 
 # Default rank method for the materialised eval path: counting
@@ -265,8 +270,10 @@ def _eval_ranks(model, params, state, batch, cutoff, streamed=None,
     at serving-scale catalogs.
     """
     if streamed is None:
-        streamed = _auto_stream(batch.labels.shape[0],
-                                getattr(model, "padded_items", 0))
+        streamed = _auto_stream(
+            batch.labels.shape[0], getattr(model, "padded_items", 0),
+            getattr(model, "order", 1)
+            if getattr(model, "has_multi_head", False) else 1)
     if streamed and getattr(model, "has_plain_head", False):
         from sessionrec_tpu.ops.streamed_eval import (streamed_count_ranks,
                                                       streamed_topk_ranks)
@@ -284,11 +291,14 @@ def _eval_ranks(model, params, state, batch, cutoff, streamed=None,
             normalize_table=getattr(model, "table_norm", False),
             compute_dtype=model.cdt)
     if streamed and getattr(model, "has_multi_head", False):
-        from sessionrec_tpu.ops.streamed_eval import \
-            streamed_multi_topk_ranks
+        from sessionrec_tpu.ops.streamed_eval import (
+            streamed_multi_count_ranks, streamed_multi_topk_ranks)
         sr, table, phi, alpha, iids, _ = model.head_multi(
             params, state, batch, training=False, rng=None)
-        return streamed_multi_topk_ranks(
+        fn = streamed_multi_count_ranks if _use_count_ranks(
+            rank_method, batch.labels.shape[0],
+            getattr(model, "padded_items", 0)) else streamed_multi_topk_ranks
+        return fn(
             sr, table, batch.labels, iids, phi, alpha,
             num_items=model.num_items, extra=model.extra,
             fusion=model.fusion, k=cutoff, scale=float(model.scale),

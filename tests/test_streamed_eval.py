@@ -17,6 +17,7 @@ from sessionrec_tpu.graph.batch import (CcsBatch, CcsLevel, LessrBatch,
 from sessionrec_tpu.models import LESSR, MSGIFSR, NISER, SRGNN
 from sessionrec_tpu.ops import scoring
 from sessionrec_tpu.ops.streamed_eval import (streamed_count_ranks,
+                                              streamed_multi_count_ranks,
                                               streamed_multi_topk_ranks,
                                               streamed_topk_ranks)
 from sessionrec_tpu.train.runner import make_eval_step
@@ -179,4 +180,28 @@ def test_streamed_count_plain_head_models_match(model_f, kind):
     got = streamed_count_ranks(
         sr, table, batch.labels, num_items=model.num_items, k=20,
         normalize_table=getattr(model, "table_norm", False), tile=512)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("order,extra,fusion", [(2, True, False),
+                                                (2, False, True),
+                                                (3, True, True)])
+def test_msgifsr_multi_count_matches(order, extra, fusion):
+    """Counting multi-order streamed ranks == apply-path top-k ranks."""
+    rng = np.random.default_rng(6)
+    model = MSGIFSR(num_items=NUM_ITEMS, embedding_dim=16, num_layers=1,
+                    order=order, extra=extra, fusion=fusion)
+    batch = _batch(rng, "ccs", order=order)
+    params, state = model.init(jax.random.PRNGKey(7))
+    params = model.project_params(params)
+    log_probs, _ = model.apply(params, state, batch, training=False,
+                               rng=None)
+    want = scoring.topk_ranks(log_probs, batch.labels, 20)
+    sr, table, phi, alpha, iids, _ = model.head_multi(
+        params, state, batch, training=False, rng=None)
+    got = streamed_multi_count_ranks(
+        sr, table, batch.labels, iids, phi, alpha,
+        num_items=model.num_items, extra=extra, fusion=fusion, k=20,
+        scale=float(model.scale), normalize_table=model.table_norm,
+        tile=512)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
