@@ -256,6 +256,64 @@ def measure_config(name, profile_dir=None):
     }
 
 
+def measure_eval(name, unroll=8):
+    """Eval + serving throughput of one config (bf16, counting ranks —
+    the round-4 defaults; serving adds the approx_max_k top-k).  See
+    scripts/probe_rank.py / probe_serving.py for the method A/Bs."""
+    import jax
+    from sessionrec_tpu.train.runner import (make_unrolled_eval_step,
+                                             stack_batches)
+    cfg = CONFIGS[name]
+    rng = np.random.default_rng(0)
+    model = build_model(cfg, "bfloat16", "bfloat16")
+    params, state = model.init(jax.random.PRNGKey(0))
+    params = model.project_params(params)
+    chunk = jax.device_put(stack_batches(
+        synthetic_batches(cfg, unroll, rng), unroll))
+
+    def best_of(fn, sync):
+        sync(fn())
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                out = fn()
+            sync(out)
+            best = min(best, (time.perf_counter() - t0) / 4)
+        return best
+
+    ev = make_unrolled_eval_step(model, project=False)
+    t_eval = best_of(lambda: ev(params, state, chunk),
+                     lambda o: float(np.asarray(o[0]) + np.asarray(o[1])))
+    out = {"eval_ms_per_batch": round(t_eval * 1e3 / unroll, 3),
+           "eval_eps": round(unroll * cfg["batch"] / t_eval, 1)}
+
+    if getattr(model, "has_plain_head", False):
+        import jax.numpy as jnp
+        from sessionrec_tpu.models.layers import l2norm
+        from sessionrec_tpu.ops import scoring
+        from sessionrec_tpu.ops.masked import NEG_INF
+
+        def body(carry, batch):
+            sr, table, _ = model.head(params, state, batch,
+                                      training=False, rng=None)
+            if getattr(model, "table_norm", False):
+                table = l2norm(table)
+            logits = scoring.catalog_logits(sr, table,
+                                            compute_dtype=model.cdt)
+            imask = scoring.item_mask(model.num_items, model.padded_items)
+            s = jnp.where(imask.astype(bool), logits, NEG_INF)
+            _, ids = jax.lax.approx_max_k(s, 20, recall_target=0.95)
+            return carry, ids
+
+        serve = jax.jit(lambda c: jax.lax.scan(body, 0, c)[1])
+        t_serve = best_of(lambda: serve(chunk),
+                          lambda o: np.asarray(o).sum())
+        out["serve_approx_sessions_per_s"] = round(
+            unroll * cfg["batch"] / t_serve, 1)
+    return out
+
+
 def main(profile_dir=None, only=None):
     names = [only] if only else list(CONFIGS)
     prof_name = only if only else "msgifsr-o1"
@@ -264,6 +322,12 @@ def main(profile_dir=None, only=None):
         results[name] = measure_config(
             name, profile_dir=profile_dir if name == prof_name else None)
         print(f"# {name}: {json.dumps(results[name])}", flush=True)
+    eval_results = {}
+    for name in ("msgifsr-o1", "niser-1m"):
+        if name in results:
+            eval_results[name] = measure_eval(name)
+            print(f"# eval {name}: {json.dumps(eval_results[name])}",
+                  flush=True)
     head = results.get("msgifsr-o1") or next(iter(results.values()))
     out = {
         "metric": "MSGIFSR train throughput (yoochoose-1/4 scale, 1 chip, "
@@ -273,6 +337,7 @@ def main(profile_dir=None, only=None):
         "vs_baseline": round(head["bfloat16_eps"] / BASELINE_EPS, 3),
         **head,
         "configs": results,
+        "eval": eval_results,
     }
     print(json.dumps(out))
 
