@@ -68,3 +68,30 @@ def test_cli_train_then_predict(tmp_path):
         for r in recs:
             assert len(r["items"]) == 5 and len(r["scores"]) == 5
             assert all(isinstance(i, int) for i in r["items"])
+
+
+def test_recommend_msgifsr_multi_head():
+    """The REnorm/fusion head serves through the apply path; ids match
+    top-k of the fused log-probs."""
+    from sessionrec_tpu.models import MSGIFSR
+    from sessionrec_tpu.graph.batch import CcsBatch, CcsLevel
+
+    model = MSGIFSR(num_items=50, embedding_dim=16, num_layers=1,
+                    order=2, extra=True, fusion=True, feat_drop=0.0)
+    params, state = model.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(2)
+    sessions = [list(rng.integers(0, 50, size=rng.integers(2, 6)))
+                for _ in range(5)]
+    got = list(serving.recommend(model, params, state, sessions,
+                                 max_len=6, k=7, batch_size=3, order=2))
+    assert len(got) == 5
+    pp = model.project_params(params)
+    for sess, ids, scores in got:
+        d = builders.build_ccs_batch([list(sess)], [0], 2, 6, 1)
+        batch = CcsBatch(
+            levels=tuple(CcsLevel(**lv) for lv in d["levels"]),
+            inter_in=tuple(d["inter_in"]), inter_out=tuple(d["inter_out"]),
+            labels=d["labels"], valid=d["valid"])
+        lp, _ = model.apply(pp, state, batch, training=False, rng=None)
+        _, want = jax.lax.top_k(lp[0], 7)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(want))
