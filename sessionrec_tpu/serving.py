@@ -105,7 +105,11 @@ def make_recommend_step(model, k=20, method="exact", recall_target=0.95):
     Plain-head models score raw masked logits straight from
     ``model.head`` (no full-catalog softmax — rank-equivalent, see
     module docstring); multi-order MSGIFSR scores its fused
-    REnorm/fusion log-probs via ``model.apply``.
+    REnorm/fusion log-probs via ``model.apply``, which materialises
+    ``[B, K, P]`` scores — at very large catalogs (>~1G score elements)
+    shrink ``batch_size`` to fit; a slab-streamed top-k for the fused
+    multi-order score is future work (the eval-side machinery exists in
+    ops/streamed_eval.py).
     """
     def step(params, state, batch):
         params = model.project_params(params)
