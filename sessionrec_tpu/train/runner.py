@@ -262,12 +262,11 @@ def _eval_ranks(model, params, state, batch, cutoff, streamed=None,
     stops fitting comfortably.  Both paths produce identical ranks
     (tests/test_streamed_eval.py).
 
-    ``rank_method``: "topk" | "count" | None (auto, see
-    ``_COUNT_RANKS_ELEMS``) — how the materialised path turns the
-    ``[B, P]`` scores into label ranks.  Both methods return identical
-    ranks on any input (tests/test_scoring.py); "count" skips the
-    catalog-sized ``lax.top_k`` sort, which dominates eval wall-clock
-    at serving-scale catalogs.
+    ``rank_method``: "topk" | "count" | None (auto = count, see
+    ``_use_count_ranks``) — how the ``[B, P]`` scores become label
+    ranks.  Both methods return identical ranks on any input
+    (tests/test_ops.py); "count" skips the catalog-sized ``lax.top_k``
+    sort, which dominates eval wall-clock at serving-scale catalogs.
     """
     if streamed is None:
         streamed = _auto_stream(
