@@ -45,7 +45,10 @@ def _add_train_flags(p):
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--data-parallel", type=int, default=1)
-    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="catalog-shard factor; on multi-chip runs prefer "
+                        ">=2 — a dp-only mesh pays ~2x the embedding-"
+                        "gradient wire (BENCH_NOTES.md r4)")
     # multi-host: launch one process per host with the same coordinator
     # (parallel/multihost.py); device counts are global across processes
     p.add_argument("--coordinator", default=None,

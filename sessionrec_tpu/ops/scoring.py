@@ -95,6 +95,19 @@ def nll_loss(log_probs, labels, valid):
     return -jnp.sum(lp * v) / jnp.maximum(jnp.sum(v), 1.0)
 
 
+def use_count_ranks(rank_method) -> bool:
+    """Resolve the eval rank method: None (auto) counts; "topk" opts into
+    the reference-shaped sort; anything else is an error.  The single
+    predicate for both the single-chip (train/runner.py) and mesh
+    (parallel/sharded.py) eval paths, so a typo'd method name fails loudly
+    instead of silently resolving differently per path."""
+    if rank_method not in (None, "count", "topk"):
+        raise ValueError(
+            f"rank_method must be None, 'count' or 'topk', got "
+            f"{rank_method!r}")
+    return rank_method != "topk"
+
+
 def topk_ranks(log_probs, labels, k: int):
     """Rank (1-based) of each label within the top-k, else 0.
 
@@ -116,10 +129,14 @@ def label_ranks_by_count(scores, labels, k: int):
     at position ``#{j : s_j > s_label} + #{j : s_j == s_label, j < label}``
     of the descending sort — the second term is exactly ``lax.top_k``'s
     stable tie rule (equal values ordered by ascending index), so this
-    returns bit-identical ranks to ``topk_ranks`` on ANY input, ties
-    included (tests/test_ops.py; torch.topk's tie order is NOT
+    returns bit-identical ranks to ``topk_ranks`` on any NaN-free input,
+    ties included (tests/test_ops.py; torch.topk's tie order is NOT
     guaranteed stable, but exact float ties are measure-zero in real
-    logits).
+    logits).  NaN scores are the one exception: ``NaN > lv`` and
+    ``NaN == lv`` are both false here while ``lax.top_k`` gives NaNs a
+    backend-defined order — irrelevant in practice because training
+    aborts on the first non-finite loss (runner._drain_losses) before a
+    diverged model ever reaches eval.
 
     Why it exists: a full ``lax.top_k`` over ``[B, P]`` is a
     sort-flavoured kernel whose cost grows steeply with the catalog

@@ -411,7 +411,8 @@ def _topk_metrics(mesh, log_probs, labels, valid, cutoff,
     ``sharded_topk`` as the A/B path."""
     log_probs = jax.lax.with_sharding_constraint(
         log_probs, NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)))
-    if rank_method != "topk":
+    from sessionrec_tpu.ops.scoring import use_count_ranks
+    if use_count_ranks(rank_method):
         ranks = sharded_count_ranks(mesh, log_probs, labels, cutoff)
     else:
         _, idx = sharded_topk(mesh, log_probs, cutoff)

@@ -40,32 +40,34 @@ _KIND = {"srgnn": "session", "niser": "session", "lessr": "lessr",
          "msgifsr": "ccs"}
 
 
-def restore_params(model, checkpoint_dir, *, lr=1e-3, weight_decay=1e-4):
+def restore_params(model, checkpoint_dir):
     """(params, state) from the latest checkpoint in ``checkpoint_dir``.
 
-    Builds the same restore template the trainer saves (params, model
-    state, optimizer state, PRNG stream) so sharded checkpoints restore
-    cleanly, then discards everything inference does not need.
+    Restores ONLY the params + model-state subtree
+    (utils/checkpoint.py:restore_subtree): the optimizer moments a
+    training checkpoint carries — two table-sized f32 tensors — are
+    never read, peak restore memory stays ~one table, and serving works
+    from a checkpoint whose ``opt_state`` was deleted to save space.
+    The template comes from ``jax.eval_shape``, so even the fresh-init
+    table is never materialised on the happy path.
     """
-    from sessionrec_tpu.train.optim import make_optimizer
     from sessionrec_tpu.utils.checkpoint import Checkpointer
 
-    params, state = model.init(jax.random.PRNGKey(0))
-    tx = make_optimizer(params, lr=lr, weight_decay=weight_decay,
-                        steps_per_epoch=1)
+    a_params, a_state = jax.eval_shape(model.init, jax.random.PRNGKey(0))
 
-    class _Slot:  # duck-typed runner for Checkpointer.restore_latest
-        pass
+    def concrete():
+        # only reached on shape/dtype drift (old pad_catalog multiple):
+        # the migration pads saved rows with real template rows
+        params, state = model.init(jax.random.PRNGKey(0))
+        return {"params": params, "state": state}
 
-    slot = _Slot()
-    slot.params, slot.state = params, state
-    slot.opt_state = tx.init(params)
-    slot.step_key = jax.random.PRNGKey(0)
     ckpt = Checkpointer(checkpoint_dir)
-    if not ckpt.restore_latest(slot):
+    tree = ckpt.restore_subtree({"params": a_params, "state": a_state},
+                                concrete_factory=concrete)
+    if tree is None:
         raise FileNotFoundError(
             f"no checkpoint found in {checkpoint_dir}")
-    return slot.params, slot.state
+    return tree["params"], tree["state"]
 
 
 def session_batches(sessions, kind, batch_size, max_len, order=1):
@@ -134,10 +136,28 @@ def make_recommend_step(model, k=20, method="exact", recall_target=0.95):
     return jax.jit(step)
 
 
+def validate_sessions(sessions, num_items):
+    """Reject out-of-catalog item ids before they reach the device.
+
+    XLA gather clamps out-of-range indices, so a session carrying an id
+    >= num_items (or negative) would silently score against the wrong
+    embedding row and return plausible-looking garbage.  Raises naming
+    the first offending session (1-based, matching --sessions-file line
+    numbers)."""
+    for i, s in enumerate(sessions):
+        for iid in s:
+            if not 0 <= iid < num_items:
+                raise ValueError(
+                    f"session {i + 1}: item id {iid} is outside the "
+                    f"catalog [0, {num_items}) — check that the sessions "
+                    f"use the same item-id space as the training dataset")
+
+
 def recommend(model, params, state, sessions, *, max_len, k=20,
               batch_size=256, method="exact", recall_target=0.95,
               order=1):
     """Yield (session, top-k item ids, scores) for each input session."""
+    validate_sessions(sessions, model.num_items)
     step = make_recommend_step(model, k=k, method=method,
                                recall_target=recall_target)
     kind = _KIND[type(model).__name__.lower()]

@@ -243,12 +243,8 @@ def _auto_stream(batch_size: int, padded_items: int,
 # at BOTH measured scales — msgifsr-o1 (B=512, P=37.9k) 3.40 ->
 # 1.98 ms/eval-batch and niser-1m (B=512, P=2^20) 45.0 -> 17.7 — so
 # auto always counts; "topk" stays available as an explicit A/B knob.
-
-
-def _use_count_ranks(rank_method, batch_size: int, padded_items: int) -> bool:
-    if rank_method is not None:
-        return rank_method == "count"
-    return True
+# The resolution predicate is shared with the mesh eval path:
+# ops/scoring.py:use_count_ranks (validates the method string).
 
 
 def _eval_ranks(model, params, state, batch, cutoff, streamed=None,
@@ -278,8 +274,7 @@ def _eval_ranks(model, params, state, batch, cutoff, streamed=None,
                                                       streamed_topk_ranks)
         sr, table, _ = model.head(params, state, batch, training=False,
                                   rng=None)
-        if _use_count_ranks(rank_method, batch.labels.shape[0],
-                            getattr(model, "padded_items", 0)):
+        if scoring.use_count_ranks(rank_method):
             return streamed_count_ranks(
                 sr, table, batch.labels, num_items=model.num_items, k=cutoff,
                 normalize_table=getattr(model, "table_norm", False),
@@ -294,9 +289,9 @@ def _eval_ranks(model, params, state, batch, cutoff, streamed=None,
             streamed_multi_count_ranks, streamed_multi_topk_ranks)
         sr, table, phi, alpha, iids, _ = model.head_multi(
             params, state, batch, training=False, rng=None)
-        fn = streamed_multi_count_ranks if _use_count_ranks(
-            rank_method, batch.labels.shape[0],
-            getattr(model, "padded_items", 0)) else streamed_multi_topk_ranks
+        fn = (streamed_multi_count_ranks
+              if scoring.use_count_ranks(rank_method)
+              else streamed_multi_topk_ranks)
         return fn(
             sr, table, batch.labels, iids, phi, alpha,
             num_items=model.num_items, extra=model.extra,
@@ -324,8 +319,7 @@ def _eval_ranks(model, params, state, batch, cutoff, streamed=None,
     else:
         scores, _ = model.apply(params, state, batch, training=False,
                                 rng=None)
-    if _use_count_ranks(rank_method, batch.labels.shape[0],
-                        getattr(model, "padded_items", 0)):
+    if scoring.use_count_ranks(rank_method):
         return scoring.label_ranks_by_count(scores, batch.labels, cutoff)
     return scoring.topk_ranks(scores, batch.labels, cutoff)
 

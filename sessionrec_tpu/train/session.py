@@ -71,6 +71,16 @@ def _make_mesh(cfg_train):
     mp = int(getattr(cfg_train, "model_parallel", 1) or 1)
     if dp * mp <= 1:
         return None
+    if dp > 1 and mp == 1:
+        # Measured (BENCH_NOTES r4, HLO byte counts): at mp=1 GSPMD emits
+        # a full-table-size all-reduce for the gather-site embedding
+        # gradients — ~2x the table wire of the mp=2 layout (43.6 MB vs
+        # 24.4 MB per step at yoochoose-1/4 scale, dp=8).
+        log.warning(
+            "data_parallel=%d with model_parallel=1: the embedding "
+            "gradient all-reduce moves ~2x the table bytes of an mp>=2 "
+            "layout — prefer --model-parallel 2 on multi-chip runs "
+            "(BENCH_NOTES.md round 4, mp=1 collective analysis)", dp)
     from sessionrec_tpu.parallel.mesh import make_mesh
     n = len(jax.devices())
     if dp * mp > n:

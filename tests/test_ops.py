@@ -167,3 +167,13 @@ def test_nll_loss_ignores_padded_rows():
     valid = jnp.asarray([1.0, 1.0, 0.0, 0.0])
     loss = scoring.nll_loss(lp, labels, valid)
     np.testing.assert_allclose(float(loss), -np.log(0.1), rtol=1e-6)
+
+
+def test_use_count_ranks_validates_method():
+    """One predicate for both single-chip and mesh eval paths; typos must
+    fail loudly instead of silently resolving differently per path."""
+    from sessionrec_tpu.ops.scoring import use_count_ranks
+    assert use_count_ranks(None) and use_count_ranks("count")
+    assert not use_count_ranks("topk")
+    with pytest.raises(ValueError, match="rank_method"):
+        use_count_ranks("cout")

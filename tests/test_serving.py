@@ -70,6 +70,39 @@ def test_cli_train_then_predict(tmp_path):
             assert all(isinstance(i, int) for i in r["items"])
 
 
+def test_recommend_rejects_out_of_catalog_ids():
+    """Out-of-range item ids must fail loudly (XLA gather would clamp
+    them silently and score against the wrong row)."""
+    model = NISER(num_items=60, embedding_dim=16, num_layers=1)
+    params, state = model.init(jax.random.PRNGKey(0))
+    for bad in ([[3, 60, 2]], [[1], [2, -1]]):
+        with pytest.raises(ValueError, match=f"session {len(bad)}"):
+            list(serving.recommend(model, params, state, bad, max_len=6))
+
+
+def test_lean_restore_without_opt_state(tmp_path):
+    """restore_params reads only params+state: it must work from a
+    checkpoint that carries no opt_state at all (deleted to save space)
+    and never build an optimizer."""
+    from sessionrec_tpu.utils.checkpoint import Checkpointer
+
+    model = NISER(num_items=60, embedding_dim=16, num_layers=1)
+    params, state = model.init(jax.random.PRNGKey(3))
+
+    ckpt = Checkpointer(tmp_path / "ck")
+    ckpt._ckpt.save(ckpt.dir / "epoch_0000",
+                    {"params": params, "state": state})
+    (ckpt.dir / "epoch_0000.json").write_text("{}")
+
+    got_p, got_s = serving.restore_params(model, tmp_path / "ck")
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, got_p)
+    assert got_s == state or jax.tree_util.tree_structure(got_s) \
+        == jax.tree_util.tree_structure(state)
+
+
 def test_recommend_msgifsr_multi_head():
     """The REnorm/fusion head serves through the apply path; ids match
     top-k of the fused log-probs."""

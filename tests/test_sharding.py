@@ -136,3 +136,34 @@ def test_sharded_eval_rank_methods_identical():
     ev1 = make_eval_step(model, cutoff=20)
     hit, mrr, n = ev1(host_params, state, batch)
     assert (float(hit), round(float(mrr), 6), float(n)) == outs[0]
+
+
+def test_dp_only_mesh_warns():
+    """A dp-only mesh pays ~2x embedding-gradient wire (BENCH_NOTES r4);
+    the session wiring must surface that at mesh construction.  The
+    package logger doesn't propagate to root, so capture via a handler."""
+    import logging
+    from types import SimpleNamespace
+    from sessionrec_tpu.train import session as S
+
+    records = []
+
+    class _H(logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    h = _H()
+    logging.getLogger("sessionrec_tpu.train.session").addHandler(h)
+    try:
+        mesh = S._make_mesh(SimpleNamespace(data_parallel=4,
+                                            model_parallel=1))
+        assert mesh is not None
+        assert dict(mesh.shape) == {"data": 4, "model": 1}
+        assert any("model-parallel 2" in m for m in records)
+
+        records.clear()
+        mesh = S._make_mesh(SimpleNamespace(data_parallel=4,
+                                            model_parallel=2))
+        assert not any("model-parallel" in m for m in records)
+    finally:
+        logging.getLogger("sessionrec_tpu.train.session").removeHandler(h)
