@@ -92,34 +92,105 @@ CONFIGS = {
     # + f32 Adam moments 512 MB — single-chip resident.
     "niser-1m": dict(model="niser", batch=512, dim=64, layers=2,
                      feat_drop=0.5, items=1 << 20),
+    # ---- realistic length distribution (round 5) -------------------------
+    # lengths="real" samples prefix lengths from the bundled sample
+    # dataset's empirical prefix distribution (mean 3.5, median 2, 92%
+    # <= 8 items) instead of uniform(1,20) — the uniform draw (mean 10.5)
+    # overstated real node occupancy ~3x.  split=8 additionally buckets
+    # each batch into [B_short, 8] + [B_long, 20] sub-blocks
+    # (graph/batch.py:SplitBatch) — the same example set per step, so
+    # the pair of configs isolates the bucketing speedup at the
+    # realistic distribution.  bf16-only: the split-vs-single comparison
+    # is within one dtype.
+    "msgifsr-o1-real": dict(model="msgifsr", batch=512, dim=256, layers=1,
+                            feat_drop=0.1, order=1, lengths="real",
+                            bf16_only=True),
+    "msgifsr-o1-real-split": dict(model="msgifsr", batch=512, dim=256,
+                                  layers=1, feat_drop=0.1, order=1,
+                                  lengths="real", split=8, bf16_only=True),
+    "msgifsr-o3-paper-real": dict(model="msgifsr", batch=512, dim=256,
+                                  layers=1, feat_drop=0.1, order=3,
+                                  extra=True, fusion=True, lengths="real",
+                                  bf16_only=True),
+    "msgifsr-o3-paper-real-split": dict(model="msgifsr", batch=512, dim=256,
+                                        layers=1, feat_drop=0.1, order=3,
+                                        extra=True, fusion=True,
+                                        lengths="real", split=8,
+                                        bf16_only=True),
+    "lessr-real": dict(model="lessr", batch=512, dim=32, layers=3,
+                       feat_drop=0.2, lengths="real", bf16_only=True),
+    "lessr-real-split": dict(model="lessr", batch=512, dim=32, layers=3,
+                             feat_drop=0.2, lengths="real", split=8,
+                             bf16_only=True),
 }
 
+_REAL_LENS = None
 
-def synthetic_batches(cfg, n_batches, rng):
+
+def real_prefix_lengths():
+    """Empirical prefix-length distribution of the bundled sample dataset
+    (the de-facto integration fixture, SURVEY.md §4) — what a real
+    prefix-augmented training stream looks like."""
+    global _REAL_LENS
+    if _REAL_LENS is None:
+        from sessionrec_tpu.data.augment import AugmentedIndex
+        from sessionrec_tpu.data.io import read_dataset
+        train, _, _ = read_dataset("datasets/sample")
+        _REAL_LENS = np.minimum(AugmentedIndex(train).index[:, 1], MAX_LEN)
+    return _REAL_LENS
+
+
+def _wrap_batch(cfg, d_or_kind, seqs, labels, max_len, size):
     from sessionrec_tpu.graph import builders
     from sessionrec_tpu.graph.batch import (CcsBatch, CcsLevel, LessrBatch,
                                             SessionGraphBatch)
+    if cfg["model"] == "msgifsr":
+        d = builders.build_ccs_batch(seqs, labels, cfg["order"], max_len,
+                                     size)
+        return CcsBatch(
+            levels=tuple(CcsLevel(**lv) for lv in d["levels"]),
+            inter_in=tuple(d["inter_in"]),
+            inter_out=tuple(d["inter_out"]),
+            labels=d["labels"], valid=d["valid"])
+    if cfg["model"] == "lessr":
+        return LessrBatch(**builders.build_lessr_batch(seqs, labels, max_len,
+                                                       size))
+    return SessionGraphBatch(**builders.build_session_batch(seqs, labels,
+                                                            max_len, size))
+
+
+def synthetic_batches(cfg, n_batches, rng):
+    from sessionrec_tpu.graph.batch import SplitBatch
     B = cfg["batch"]
     num_items = cfg.get("items", NUM_ITEMS)
-    out = []
+    raw = []
     for _ in range(n_batches):
-        lens = rng.integers(1, MAX_LEN + 1, size=B)
+        if cfg.get("lengths") == "real":
+            lens = rng.choice(real_prefix_lengths(), size=B)
+        else:
+            lens = rng.integers(1, MAX_LEN + 1, size=B)
         seqs = [list(rng.integers(0, num_items, size=l)) for l in lens]
         labels = list(rng.integers(0, num_items, size=B))
-        if cfg["model"] == "msgifsr":
-            d = builders.build_ccs_batch(seqs, labels, cfg["order"],
-                                         MAX_LEN, B)
-            out.append(CcsBatch(
-                levels=tuple(CcsLevel(**lv) for lv in d["levels"]),
-                inter_in=tuple(d["inter_in"]),
-                inter_out=tuple(d["inter_out"]),
-                labels=d["labels"], valid=d["valid"]))
-        elif cfg["model"] == "lessr":
-            d = builders.build_lessr_batch(seqs, labels, MAX_LEN, B)
-            out.append(LessrBatch(**d))
-        else:
-            d = builders.build_session_batch(seqs, labels, MAX_LEN, B)
-            out.append(SessionGraphBatch(**d))
+        raw.append((seqs, labels))
+    split = cfg.get("split")
+    if not split:
+        return [_wrap_batch(cfg, None, seqs, labels, MAX_LEN, B)
+                for seqs, labels in raw]
+    # split configs: the same per-batch partition + static sub-block caps
+    # the BatchLoader computes (data/loader.py:_split_caps)
+    parts = [([(s, l) for s, l in zip(seqs, labels) if len(s) <= split],
+              [(s, l) for s, l in zip(seqs, labels) if len(s) > split])
+             for seqs, labels in raw]
+    rnd = lambda x: max(-(-x // 32) * 32, 32)
+    cap_s = min(rnd(max(len(p[0]) for p in parts)), B)
+    cap_l = min(rnd(max(len(p[1]) for p in parts)), B)
+    out = []
+    for shorts, longs in parts:
+        out.append(SplitBatch(
+            short=_wrap_batch(cfg, None, [s for s, _ in shorts],
+                              [l for _, l in shorts], split, cap_s),
+            long=_wrap_batch(cfg, None, [s for s, _ in longs],
+                             [l for _, l in longs], MAX_LEN, cap_l)))
     return out
 
 
@@ -242,18 +313,25 @@ def run(name, compute_dtype="float32", quiet=False, profile_dir=None):
 
 
 def measure_config(name, profile_dir=None):
-    eps32, _, mfu32, bytes32 = run(name, "float32", quiet=True)
+    bf16_only = CONFIGS[name].get("bf16_only", False)
+    eps32 = mfu32 = bytes32 = None
+    if not bf16_only:
+        eps32, _, mfu32, bytes32 = run(name, "float32", quiet=True)
     eps16, fpe16, mfu16, bytes16 = run(name, "bfloat16", quiet=True,
                                        profile_dir=profile_dir)
-    return {
-        "float32_eps": round(eps32, 1),
+    out = {
         "bfloat16_eps": round(eps16, 1),
         "flops_per_example": round(fpe16 or 0),
-        "mfu_f32_pct": round((mfu32 or 0) * 100, 2),
         "mfu_bf16_pct": round((mfu16 or 0) * 100, 2),
-        "hbm_bytes_per_step_f32": round(bytes32 or 0),
         "hbm_bytes_per_step_bf16": round(bytes16 or 0),
     }
+    if not bf16_only:
+        out.update({
+            "float32_eps": round(eps32, 1),
+            "mfu_f32_pct": round((mfu32 or 0) * 100, 2),
+            "hbm_bytes_per_step_f32": round(bytes32 or 0),
+        })
+    return out
 
 
 def measure_eval(name, unroll=8):

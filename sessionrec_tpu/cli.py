@@ -33,6 +33,12 @@ def _add_train_flags(p):
                    help="static per-example node cap; prefixes longer than "
                         "this keep their most recent max-len items "
                         "(default: longest session in the data)")
+    p.add_argument("--split-len", type=int, default=None,
+                   help="length-bucketed batches: examples with prefix "
+                        "length <= this compile at a second smaller node "
+                        "cap (same example set per step; 8 is the "
+                        "measured sweet spot on real length "
+                        "distributions); 0/unset disables")
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--order", type=int, default=None, help="MSGIFSR order")
     p.add_argument("--reducer", default=None, choices=["mean", "max", "concat"])
@@ -100,6 +106,8 @@ def build_config(args):
     d.valid_split = args.valid_split
     if args.max_len is not None:
         d.max_len = args.max_len
+    if args.split_len is not None:
+        d.split_len = args.split_len or None
     t.lr = args.lr
     t.epochs = args.epochs
     t.weight_decay = args.weight_decay

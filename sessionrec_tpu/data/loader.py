@@ -69,7 +69,7 @@ class BatchLoader:
 
     def __init__(self, sessions, kind, batch_size, max_len, shuffle=False,
                  order=1, seed=0, prefetch=2, drop_last=False,
-                 use_native=True, batch_slice=None):
+                 use_native=True, batch_slice=None, split_len=None):
         self.index = AugmentedIndex(sessions)
         self.kind = kind
         self.batch_size = batch_size
@@ -82,6 +82,55 @@ class BatchLoader:
         self.seed = seed
         self.epoch = 0
         self.batch_slice = batch_slice
+        self.split = None
+        if split_len is not None and split_len > 0 and split_len < max_len:
+            if batch_slice is not None:
+                raise ValueError(
+                    "split_len bucketing is not supported together with "
+                    "multi-host batch_slice (per-host sub-block caps would "
+                    "disagree with the global batch layout)")
+            self.split = (int(split_len), *self._split_caps(int(split_len)))
+
+    # Epochs whose shuffle orders are scanned when sizing the split
+    # sub-blocks.  Orders are a pure function of (seed, epoch)
+    # (set_epoch), so the caps are EXACT for any run of up to this many
+    # epochs (the reference default is 30); ordered streams reuse one
+    # order, so their caps are exact for any length of run.
+    _SPLIT_CAP_EPOCHS = 64
+
+    def _split_caps(self, split_len):
+        """Static (short, long) sub-block row caps.
+
+        Scans the actual epoch orders this loader will produce and takes
+        the exact per-batch maxima of short (len <= split_len after the
+        max_len truncation) and long rows, rounded up for shardability.
+        Measured motivation in graph/batch.py:SplitBatch.
+        """
+        lens = np.minimum(self.index.index[:, 1], self.max_len) \
+            if len(self.index) else np.empty(0, np.int64)
+        B = self.batch_size
+        n = len(lens)
+        nb = (n + B - 1) // B
+        max_s = max_l = 0
+        for epoch in range(self._SPLIT_CAP_EPOCHS if self.shuffle else 1):
+            order = np.arange(n)
+            if self.shuffle:
+                np.random.default_rng((self.seed, epoch)).shuffle(order)
+            lp = np.full(nb * B, -1, dtype=np.int64)
+            lp[:n] = lens[order]
+            lp = lp.reshape(nb, B)
+            ns = ((lp >= 0) & (lp <= split_len)).sum(axis=1)
+            nl = (lp > split_len).sum(axis=1)
+            if nb:
+                max_s = max(max_s, int(ns.max()))
+                max_l = max(max_l, int(nl.max()))
+        # round up so the batch axis stays shardable over a data axis
+        # (any dp dividing the multiple; chunk_sharding shards axis 1)
+        mult = 32 if B % 32 == 0 else (8 if B % 8 == 0 else 1)
+
+        def cap(x):
+            return max(min(-(-x // mult) * mult, B), mult)
+        return cap(max_s), cap(max_l)
 
     def set_epoch(self, epoch: int):
         """Pin the shuffle stream to an epoch (deterministic resume: the
@@ -124,8 +173,39 @@ class BatchLoader:
                 s = s[-max_len:]
             seqs.append(s)
             labels.append(l)
+        if self.split is not None:
+            return self._build_split(seqs, labels)
         return _make_batch(self.kind, seqs, labels, self.max_len,
                            local_size, self.order, self.use_native)
+
+    def _build_split(self, seqs, labels):
+        """Partition one batch's examples by prefix length into the two
+        statically-capped sub-blocks (graph/batch.py:SplitBatch).  The
+        example set is exactly the unsplit batch's; only row order within
+        the batch permutes (shorts first), which nothing downstream
+        depends on."""
+        split_len, cap_s, cap_l = self.split
+        ss, sl, ls, ll = [], [], [], []
+        for s, l in zip(seqs, labels):
+            if len(s) <= split_len:
+                ss.append(s)
+                sl.append(l)
+            else:
+                ls.append(s)
+                ll.append(l)
+        if len(ss) > cap_s or len(ls) > cap_l:
+            raise RuntimeError(
+                f"split sub-block overflow: batch has {len(ss)} short / "
+                f"{len(ls)} long rows vs caps ({cap_s}, {cap_l}) — a "
+                f"shuffled run exceeded the {self._SPLIT_CAP_EPOCHS} "
+                f"epochs the caps were sized for; raise "
+                f"BatchLoader._SPLIT_CAP_EPOCHS or disable split_len")
+        short = _make_batch(self.kind, ss, sl, split_len, cap_s,
+                            self.order, self.use_native)
+        long = _make_batch(self.kind, ls, ll, self.max_len, cap_l,
+                           self.order, self.use_native)
+        from sessionrec_tpu.graph.batch import SplitBatch
+        return SplitBatch(short=short, long=long)
 
     def __iter__(self):
         order = self._epoch_order()

@@ -22,7 +22,7 @@ Conventions:
 from __future__ import annotations
 
 from flax import struct
-import jax.numpy as jnp  # noqa: F401  (dtype doc only)
+import jax.numpy as jnp  # dtype docs + SplitBatch concat views
 
 
 @struct.dataclass
@@ -101,3 +101,50 @@ class CcsBatch:
     @property
     def order(self) -> int:
         return len(self.levels)
+
+
+@struct.dataclass
+class SplitBatch:
+    """Length-bucketed batch: the SAME example set as an unsplit batch,
+    partitioned by prefix length into two fixed sub-blocks compiled at
+    different static node caps.
+
+    Motivation (measured, round 5): every model used to compile at the
+    single data-derived node cap N=20 while 92% of real prefix-augmented
+    examples have <= 8 items (datasets/sample; mean 3.5, median 2) — yet
+    at batch 512 essentially every batch contains ~40 long examples, so
+    per-batch bucket *selection* is useless.  Splitting within the batch
+    is not: the graph-side (attention soups scaling with N^2, projections
+    with N) runs twice at [B_short, 8] + [B_long, 20] shapes, the
+    session vectors concatenate, and the length-independent catalog loss
+    runs once over the combined rows.
+
+    Semantics: each optimizer/eval step sees exactly the same example
+    set as the unsplit batch (row order within a batch permutes, which
+    no computed quantity depends on — losses and metric sums are
+    row-permutation-invariant; padded rows carry ``valid=0`` and
+    all-zero masks exactly like tail-batch padding).  For BN-free models
+    this is identical math; LESSR's BatchNorm computes its batch
+    statistics JOINTLY across the two blocks (models/lessr.py), so its
+    training math matches the unsplit batch too (up to float summation
+    order).
+
+    Reference analog: DGL sizes each batched graph by its actual
+    sessions (collate.py:87-217 — raggedness is the reference's answer
+    to this); dense static shapes answer it with two buckets.
+    """
+
+    short: "object"   # batch pytree (Session/Lessr/Ccs) at the short caps
+    long: "object"    # same kind at the full caps
+
+    @property
+    def labels(self):
+        return jnp.concatenate([self.short.labels, self.long.labels], axis=0)
+
+    @property
+    def valid(self):
+        return jnp.concatenate([self.short.valid, self.long.valid], axis=0)
+
+    @property
+    def order(self) -> int:
+        return self.long.order

@@ -36,6 +36,16 @@ class RngGen:
         return jax.random.fold_in(self.key, self._i)
 
 
+def split_rngs(rng):
+    """Two independent per-sub-block keys for a SplitBatch forward (the
+    blocks have different shapes, so one shared stream cannot serve
+    both).  Dropout draws therefore differ from an unsplit forward —
+    a different random stream, statistically identical."""
+    if rng is None:
+        return None, None
+    return jax.random.fold_in(rng, 0x5170), jax.random.fold_in(rng, 0x10f6)
+
+
 def cast_floats(tree, dtype):
     """Cast every floating leaf of a param pytree to ``dtype`` (no-op for
     None).  Used to run layer compute in bfloat16 while the master params
@@ -84,8 +94,34 @@ def l2norm(x, eps=1e-12, axis=-1):
 # Masked BatchNorm1d (torch semantics incl. running stats)
 # ---------------------------------------------------------------------------
 
+def bn_batch_moments(parts):
+    """Joint masked BatchNorm batch statistics across several arrays.
+
+    ``parts`` is a list of ``(x [..., C], mask [...] | None)``.  Returns
+    ``(mean [C], biased var [C], n)`` in float32, computed exactly as the
+    single-array path in ``batchnorm_apply`` (same two-pass form: mean
+    first, then centred second moment) so a SplitBatch LESSR forward
+    reproduces the unsplit batch's statistics up to float summation
+    order (graph/batch.py:SplitBatch).
+    """
+    def flat(x, mask):
+        C = x.shape[-1]
+        xf = x.astype(jnp.float32).reshape(-1, C)
+        if mask is None:
+            mf = jnp.ones((xf.shape[0], 1), jnp.float32)
+        else:
+            mf = mask.reshape(-1, 1).astype(jnp.float32)
+        return xf, mf
+
+    flats = [flat(x, m) for x, m in parts]
+    n = jnp.maximum(sum(jnp.sum(mf) for _, mf in flats), 1.0)
+    mean = sum(jnp.sum(xf * mf, 0) for xf, mf in flats) / n
+    var = sum(jnp.sum(((xf - mean) ** 2) * mf, 0) for xf, mf in flats) / n
+    return mean, var, n
+
+
 def batchnorm_apply(p, state, x, mask=None, *, training, momentum=0.1,
-                    eps=1e-5):
+                    eps=1e-5, moments=None):
     """BatchNorm over all leading axes of ``x [..., C]``.
 
     ``mask`` (same leading shape) restricts statistics to real rows — in
@@ -94,13 +130,20 @@ def batchnorm_apply(p, state, x, mask=None, *, training, momentum=0.1,
     unbiased variance; normalisation uses the biased one.  Statistics and
     the normalisation itself always run in float32 (bf16 variance is
     numerically unusable); output returns in the input dtype.
+
+    ``moments`` — precomputed ``(mean, biased var, n)`` from
+    ``bn_batch_moments``: used instead of this array's own statistics
+    when the true batch spans several arrays (SplitBatch sub-blocks).
+    Ignored when not training (running stats apply as usual).
     """
     in_dtype = x.dtype
     x = x.astype(jnp.float32)
     C = x.shape[-1]
     xf = x.reshape(-1, C)
     if training:
-        if mask is not None:
+        if moments is not None:
+            mean, var, n = moments
+        elif mask is not None:
             mf = mask.reshape(-1, 1).astype(xf.dtype)
             n = jnp.maximum(jnp.sum(mf), 1.0)
             mean = jnp.sum(xf * mf, 0) / n
@@ -181,12 +224,13 @@ def init_attn_readout(key, in_dim, hidden_dim, out_dim, *, bound,
 
 
 def attn_readout_apply(p, state, feat, mask, last_idx, rng, *, feat_drop,
-                       training):
+                       training, bn_moments=None):
     """Soft-attention pooling into one session vector per graph."""
     new_state = dict(state)
     if "bn" in p:
         feat, new_state["bn"] = batchnorm_apply(p["bn"], state["bn"], feat,
-                                                mask, training=training)
+                                                mask, training=training,
+                                                moments=bn_moments)
     feat = dropout(rng, feat, feat_drop, training)
     feat_u = linear(p["fc_u"], feat)                       # [B, N, H]
     f_last = jnp.take_along_axis(
@@ -221,7 +265,7 @@ def init_eopa(key, in_dim, out_dim, *, batch_norm=True):
 
 
 def eopa_apply(p, state, feat, mask, mail_idx, mail_mask, rng, *, feat_drop,
-               training):
+               training, bn_moments=None):
     """Edge-order-preserving aggregation.
 
     The per-node mailbox GRU consumes in-messages in temporal order —
@@ -230,7 +274,8 @@ def eopa_apply(p, state, feat, mask, mail_idx, mail_mask, rng, *, feat_drop,
     new_state = dict(state)
     if "bn" in p:
         feat, new_state["bn"] = batchnorm_apply(p["bn"], state["bn"], feat,
-                                                mask, training=training)
+                                                mask, training=training,
+                                                moments=bn_moments)
     ft = dropout(rng, feat, feat_drop, training)
     # mailbox gather: mail[b, v, j] = ft[b, mail_idx[b, v, j]].  Written
     # as a one-hot contraction over the N (<=20) source nodes instead of
@@ -265,13 +310,15 @@ def init_sgat(key, in_dim, hidden_dim, out_dim, *, batch_norm=True):
     return p, state
 
 
-def sgat_apply(p, state, feat, mask, sc_adj, rng, *, feat_drop, training):
+def sgat_apply(p, state, feat, mask, sc_adj, rng, *, feat_drop, training,
+               bn_moments=None):
     """Shortcut-graph attention: e_uv = fc_e(sigmoid(q_u + k_v)),
     edge-softmax over each destination's in-edges, weighted sum of v_u."""
     new_state = dict(state)
     if "bn" in p:
         feat, new_state["bn"] = batchnorm_apply(p["bn"], state["bn"], feat,
-                                                mask, training=training)
+                                                mask, training=training,
+                                                moments=bn_moments)
     feat = dropout(rng, feat, feat_drop, training)
     q = linear(p["fc_q"], feat)   # [B, N, H] (src role)
     k = linear(p["fc_k"], feat)   # [B, N, H] (dst role)

@@ -104,41 +104,82 @@ class LESSR:
         return params
 
     def head(self, params, state, batch, *, training=False, rng=None):
-        """(sr, table, new_state); logits = sr @ table^T (scale 1)."""
-        rng = L.RngGen(rng) if rng is not None else None
+        """(sr, table, new_state); logits = sr @ table^T (scale 1).
+
+        A SplitBatch (length-bucketed, graph/batch.py) runs the layers
+        once per sub-block, but BatchNorm batch statistics are computed
+        JOINTLY across the blocks (layers.bn_batch_moments) — the split
+        forward therefore reproduces the unsplit batch's math (and
+        running-stat updates) up to float summation order, unlike a
+        naive per-block forward whose BN would see different batches.
+        """
+        from sessionrec_tpu.graph.batch import SplitBatch
+        if isinstance(batch, SplitBatch):
+            rs, rl = L.split_rngs(rng)
+            parts = [batch.short, batch.long]
+            rngs = [L.RngGen(rs) if rs is not None else None,
+                    L.RngGen(rl) if rl is not None else None]
+        else:
+            parts = [batch]
+            rngs = [L.RngGen(rng) if rng is not None else None]
+        return self._head_parts(params, state, parts, rngs, training)
+
+    def _head_parts(self, params, state, parts, rngs, training):
         cdt = self.cdt
         cp = L.cast_floats({k: v for k, v in params.items()
                             if k != "embedding"}, cdt)
         new_state = {"layers": []}
         # gathered rows always move to the compute dtype (the table itself
         # may be stored bf16 independently of compute_dtype)
-        feat = params["embedding"][batch.node_iid].astype(cdt or jnp.float32)
-        batch = batch if cdt is None else batch.replace(
-            sc_adj=batch.sc_adj.astype(cdt))
+        feats = [params["embedding"][b.node_iid].astype(cdt or jnp.float32)
+                 for b in parts]
+        if cdt is not None:
+            parts = [b.replace(sc_adj=b.sc_adj.astype(cdt)) for b in parts]
+        bn_on = self.batch_norm and training and len(parts) > 1
         for i, (lp, ls) in enumerate(zip(cp["layers"], state["layers"])):
-            if i % 2 == 0:
-                out, ns = L.eopa_apply(lp, ls, feat, batch.node_mask,
-                                       batch.mail_idx, batch.mail_mask, rng,
-                                       feat_drop=self.feat_drop,
-                                       training=training)
-            else:
-                out, ns = L.sgat_apply(lp, ls, feat, batch.node_mask,
-                                       batch.sc_adj, rng,
-                                       feat_drop=self.feat_drop,
-                                       training=training)
+            moments = L.bn_batch_moments(
+                [(f, b.node_mask) for f, b in zip(feats, parts)]) \
+                if bn_on else None
+            outs = []
+            for b, f, rg in zip(parts, feats, rngs):
+                if i % 2 == 0:
+                    out, ns = L.eopa_apply(lp, ls, f, b.node_mask,
+                                           b.mail_idx, b.mail_mask, rg,
+                                           feat_drop=self.feat_drop,
+                                           training=training,
+                                           bn_moments=moments)
+                else:
+                    out, ns = L.sgat_apply(lp, ls, f, b.node_mask,
+                                           b.sc_adj, rg,
+                                           feat_drop=self.feat_drop,
+                                           training=training,
+                                           bn_moments=moments)
+                outs.append(out)
             new_state["layers"].append(ns)
-            feat = jnp.concatenate([out, feat], axis=-1)   # dense concat growth
-        sr_g, new_state["readout"] = L.attn_readout_apply(
-            cp["readout"], state["readout"], feat, batch.node_mask,
-            batch.last_idx, rng, feat_drop=self.feat_drop, training=training)
-        sr_l = jnp.take_along_axis(
-            feat, batch.last_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
-        sr = jnp.concatenate([sr_l, sr_g], axis=-1)
+            feats = [jnp.concatenate([o, f], axis=-1)    # dense concat growth
+                     for o, f in zip(outs, feats)]
+        ro_moments = L.bn_batch_moments(
+            [(f, b.node_mask) for f, b in zip(feats, parts)]) \
+            if bn_on else None
+        srs = []
+        for b, f, rg in zip(parts, feats, rngs):
+            sr_g, new_state["readout"] = L.attn_readout_apply(
+                cp["readout"], state["readout"], f, b.node_mask,
+                b.last_idx, rg, feat_drop=self.feat_drop, training=training,
+                bn_moments=ro_moments)
+            sr_l = jnp.take_along_axis(
+                f, b.last_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+            srs.append(jnp.concatenate([sr_l, sr_g], axis=-1))
+        sr = srs[0] if len(srs) == 1 else jnp.concatenate(srs, axis=0)
+        valid = parts[0].valid if len(parts) == 1 \
+            else jnp.concatenate([b.valid for b in parts], axis=0)
         if self.batch_norm:
+            # head BN runs on the concatenation directly — a single
+            # array again, so the joint-moments machinery isn't needed
             sr, new_state["bn"] = L.batchnorm_apply(cp["bn"], state["bn"],
-                                                    sr, batch.valid,
+                                                    sr, valid,
                                                     training=training)
-        sr = L.linear(cp["fc_sr"], L.dropout(rng, sr, self.feat_drop,
+        sr = L.linear(cp["fc_sr"], L.dropout(rngs[0], sr, self.feat_drop,
                                              training))
         return sr, params["embedding"], new_state
 

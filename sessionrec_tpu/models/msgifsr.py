@@ -169,17 +169,50 @@ class MSGIFSR:
 
     def _session_item_mask(self, batch):
         """[B, P] 0/1: items occurring in the session (level-1 iids)."""
+        from sessionrec_tpu.graph.batch import SplitBatch
+        if isinstance(batch, SplitBatch):
+            return jnp.concatenate([self._session_item_mask(batch.short),
+                                    self._session_item_mask(batch.long)],
+                                   axis=0)
         lv1 = batch.levels[0]
         B = lv1.iid.shape[0]
         mask = jnp.zeros((B, self.padded_items), dtype=jnp.float32)
         rows = jnp.broadcast_to(jnp.arange(B)[:, None], lv1.iid.shape[:2])
         return mask.at[rows, lv1.iid[:, :, 0]].max(lv1.mask)
 
+    def _session_iids(self, batch):
+        """[B, N1] level-1 (unique session item) ids, -1 on padding —
+        the REnorm membership input of the fused multi-order loss.  For
+        a SplitBatch the short block's narrower id rows pad with -1 to
+        the long block's width before concatenation."""
+        from sessionrec_tpu.graph.batch import SplitBatch
+        if isinstance(batch, SplitBatch):
+            a = self._session_iids(batch.short)
+            b = self._session_iids(batch.long)
+            w = max(a.shape[1], b.shape[1])
+            a = jnp.pad(a, ((0, 0), (0, w - a.shape[1])), constant_values=-1)
+            b = jnp.pad(b, ((0, 0), (0, w - b.shape[1])), constant_values=-1)
+            return jnp.concatenate([a, b], axis=0)
+        lv1 = batch.levels[0]
+        return jnp.where(lv1.mask.astype(bool), lv1.iid[:, :, 0], -1)
+
     # -- forward -----------------------------------------------------------
 
     def _session_repr(self, params, batch, rng, training):
         """Per-order session vectors ``sr [B, K, d]`` + scoring table
-        (both in compute dtype when one is set)."""
+        (both in compute dtype when one is set).  ``rng`` is a raw PRNG
+        key (or None).  A SplitBatch runs the graph-side once per
+        length sub-block and concatenates the session vectors — MSGIFSR
+        has no BatchNorm, so the blocks are independent
+        (graph/batch.py:SplitBatch)."""
+        from sessionrec_tpu.graph.batch import SplitBatch
+        if isinstance(batch, SplitBatch):
+            rs, rl = L.split_rngs(rng)
+            sr_s, _, _ = self._session_repr(params, batch.short, rs, training)
+            sr_l, table, cp = self._session_repr(params, batch.long, rl,
+                                                 training)
+            return jnp.concatenate([sr_s, sr_l], axis=0), table, cp
+        rng = L.RngGen(rng) if rng is not None else None
         cdt = self.cdt
         K = self.order
         cp = L.cast_floats({k: params[k] for k in ("expander", "layers",
@@ -212,7 +245,6 @@ class MSGIFSR:
         """(sr, raw table, new_state) for the fused softmax-CE path
         (valid when ``has_plain_head``; logits scale is 12; the kernel
         folds in l2norm(table) when ``table_norm``)."""
-        rng = L.RngGen(rng) if rng is not None else None
         sr, table, _ = self._session_repr(params, batch, rng, training)
         return sr[:, 0], table, state
 
@@ -224,7 +256,6 @@ class MSGIFSR:
         iids [B,N] with -1 padding, new_state)``.  ``iids`` are the
         level-1 (unique session item) ids driving REnorm membership —
         the [B, P] session mask of the materialised path never exists."""
-        rng = L.RngGen(rng) if rng is not None else None
         sr, table, cp = self._session_repr(params, batch, rng, training)
         phi = None
         if self.extra:
@@ -232,12 +263,10 @@ class MSGIFSR:
             phi = jax.nn.softmax(
                 L.linear(sc["l2"], jax.nn.relu(L.linear(sc["l1"], sr)))
                 .astype(jnp.float32), axis=-1)                # [B, K, 2]
-        lv1 = batch.levels[0]
-        iids = jnp.where(lv1.mask.astype(bool), lv1.iid[:, :, 0], -1)
+        iids = self._session_iids(batch)
         return sr, table, phi, params["alpha"], iids, state
 
     def apply(self, params, state, batch, *, training=False, rng=None):
-        rng = L.RngGen(rng) if rng is not None else None
         K = self.order
         sr, table, cp = self._session_repr(params, batch, rng, training)
         if self.norm:

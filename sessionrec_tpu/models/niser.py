@@ -84,6 +84,16 @@ class NISER:
         """(sr, table, new_state); logits = self.scale * sr @
         l2norm(table)^T when ``table_norm`` — the table is returned *raw*
         so the fused kernel can fold the normalization in."""
+        from sessionrec_tpu.graph.batch import SplitBatch
+        if isinstance(batch, SplitBatch):
+            # length-bucketed batch (no BatchNorm in NISER: the blocks
+            # are independent; see graph/batch.py:SplitBatch)
+            rs, rl = L.split_rngs(rng)
+            sr_s, _, _ = self.head(params, state, batch.short,
+                                   training=training, rng=rs)
+            sr_l, table, new_state = self.head(params, state, batch.long,
+                                               training=training, rng=rl)
+            return jnp.concatenate([sr_s, sr_l], axis=0), table, new_state
         rng = L.RngGen(rng) if rng is not None else None
         cdt = self.cdt
         cp = L.cast_floats({k: params[k] for k in ("layers", "readout",

@@ -83,6 +83,17 @@ class SRGNN:
         logits; apply() turns them into log-probs, the trainer feeds them
         to the fused softmax-CE kernel directly.
         """
+        from sessionrec_tpu.graph.batch import SplitBatch
+        if isinstance(batch, SplitBatch):
+            # length-bucketed batch: the graph-side runs once per
+            # sub-block (no BatchNorm anywhere in SRGNN, so the blocks
+            # are independent); the catalog side sees the concatenation
+            rs, rl = L.split_rngs(rng)
+            sr_s, _, _ = self.head(params, state, batch.short,
+                                   training=training, rng=rs)
+            sr_l, table, new_state = self.head(params, state, batch.long,
+                                               training=training, rng=rl)
+            return jnp.concatenate([sr_s, sr_l], axis=0), table, new_state
         rng = L.RngGen(rng) if rng is not None else None
         cdt = self.cdt
         cp = L.cast_floats({k: params[k] for k in ("layers", "readout",

@@ -53,15 +53,22 @@ def make_loaders(cfg, model_name=None, order=1, batch_slice=None):
             "(prefixes keep their most recent items)", max_len)
     kind = {"srgnn": "session", "niser": "session", "lessr": "lessr",
             "msgifsr": "ccs"}[model_name]
+    split_len = getattr(cfg, "split_len", None)
     train_loader = BatchLoader(
         train_sessions, kind, cfg.batch_size, max_len,
         shuffle=cfg.shuffle_train, order=order,
         prefetch=cfg.num_prefetch, use_native=cfg.use_native_collate,
-        batch_slice=batch_slice)
+        batch_slice=batch_slice, split_len=split_len)
     test_loader = BatchLoader(
         test_sessions, kind, cfg.batch_size, max_len, shuffle=False,
         order=order, prefetch=cfg.num_prefetch,
-        use_native=cfg.use_native_collate, batch_slice=batch_slice)
+        use_native=cfg.use_native_collate, batch_slice=batch_slice,
+        split_len=split_len)
+    if train_loader.split is not None:
+        log.info("length-bucketed batches: split_len=%d, sub-block caps "
+                 "train=%s test=%s", train_loader.split[0],
+                 train_loader.split[1:], test_loader.split[1:]
+                 if test_loader.split else None)
     return train_loader, test_loader, num_items, max_len
 
 

@@ -21,6 +21,12 @@ class DataConfig:
     shuffle_train: bool = False   # ordered stream (README.md:37)
     valid_split: float | None = None
     max_len: int | None = None    # static node cap; None -> computed from data
+    # Length-bucketed batches: examples with prefix length <= split_len
+    # compile at a second, smaller static node cap (the same example set
+    # per step — graph/batch.py:SplitBatch).  None/0 disables.  Real
+    # prefix-augmented workloads are short (92% of sample examples are
+    # <= 8 items) so 8 is the measured sweet spot.
+    split_len: int | None = None
     num_prefetch: int = 2
     use_native_collate: bool = True
 
