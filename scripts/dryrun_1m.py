@@ -11,7 +11,12 @@ at that catalog on the virtual CPU mesh the test suite uses:
   mode, and interpreting 2048 catalog tiles is hours);
 * EXECUTE one sharded train step + sharded eval at P = 2^16 — a real
   end-to-end mesh execution two orders of magnitude above the unit
-  tests' P=512, small enough for interpret mode.
+  tests' P=512, small enough for interpret mode;
+* EXECUTE the sharded EVAL at the full P = 2^20 (round 5): the
+  head-based counting eval (parallel/sharded.py:sharded_head_count_ranks)
+  is plain XLA — scan + slab matmuls + three [B] psums, no Pallas — so
+  unlike the train step it runs for real on the CPU mesh at the design
+  point.
 
 Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8
       JAX_PLATFORMS=cpu python scripts/dryrun_1m.py
@@ -76,8 +81,19 @@ def main():
           f"{getattr(mem, 'temp_size_in_bytes', 0) / 1e6:.0f} MB temp",
           flush=True)
 
-    # 2) execute at 2^16 (interpret-mode Pallas; still 128 catalog tiles)
+    # 1b) EXECUTE the sharded eval at the full 2^20 design point — the
+    # counting eval is Pallas-free, so this is a real execution, not a
+    # compile check (uses the step-1 build's params/batch)
     from sessionrec_tpu.parallel.sharded import make_sharded_eval_step
+    t0 = time.time()
+    eval_step = make_sharded_eval_step(model, mesh, cutoff=20)
+    hit, mrr, n = eval_step(params, state, batch)
+    assert np.isfinite(float(mrr)) and float(n) == 32
+    print(f"P=2^20 mesh {dict(mesh.shape)}: sharded counting EVAL "
+          f"executed (n={float(n):.0f}, hit={float(hit):.0f}) in "
+          f"{time.time() - t0:.0f}s — ok", flush=True)
+
+    # 2) execute at 2^16 (interpret-mode Pallas; still 128 catalog tiles)
     t0 = time.time()
     model, mesh, step, params, state, opt_state, batch = build(1 << 16, 32)
     params, state, opt_state, loss = step(params, state, opt_state, batch,

@@ -120,7 +120,8 @@ def streamed_topk_ranks(sr, table, labels, *, num_items, k=20, scale=1.0,
 
 def streamed_count_ranks(sr, table, labels, *, num_items, k=20,
                          normalize_table=False, compute_dtype=None,
-                         tile=TILE):
+                         tile=TILE, col_offset=0, n_valid=None,
+                         axis_name=None):
     """``scoring.label_ranks_by_count`` without the ``[B, P]`` tensor.
 
     Plain-head streamed ranking by counting (see
@@ -134,12 +135,22 @@ def streamed_count_ranks(sr, table, labels, *, num_items, k=20,
     fuse into the slab matmul's epilogue, so each pass runs at the
     table-read floor (measured vs the merge-based streamed path in
     scripts/probe_rank.py).
+
+    Mesh form (parallel/sharded.py:sharded_head_count_ranks calls this
+    inside a shard_map): ``table`` is one catalog shard's rows,
+    ``col_offset`` its global row offset, ``n_valid`` the count of its
+    rows that are real items, and ``axis_name`` the catalog axis — the
+    label logit and the two counters then merge with three tiny [B]
+    ``psum``s (the label's own score is one bitwise-exact contribution
+    plus zeros, so ties still resolve exactly).
     """
     B = sr.shape[0]
     table, P = _pad_table(table, tile)
     n_tiles = P // tile
     sr_c = sr.astype(compute_dtype) if compute_dtype is not None else sr
     labels = labels.astype(jnp.int32)
+    if n_valid is None:
+        n_valid = num_items
 
     def slab_logits(i):
         tab = jax.lax.dynamic_slice_in_dim(table, i * tile, tile)
@@ -150,12 +161,13 @@ def streamed_count_ranks(sr, table, labels, *, num_items, k=20,
         lo = jax.lax.dot_general(
             sr_c, tab_c, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)            # [B, T]
-        col = i * tile + jnp.arange(tile)
-        return jnp.where(col[None, :] < num_items, lo, NEG_INF), col
+        local_col = i * tile + jnp.arange(tile)
+        lo = jnp.where(local_col[None, :] < n_valid, lo, NEG_INF)
+        return lo, local_col + col_offset                  # global col ids
 
     def lv_body(carry, i):
         lo, _ = slab_logits(i)
-        local = labels - i * tile
+        local = labels - col_offset - i * tile
         present = (local >= 0) & (local < tile)
         got = jnp.take_along_axis(
             lo, jnp.clip(local, 0, tile - 1)[:, None], axis=1)[:, 0]
@@ -163,6 +175,9 @@ def streamed_count_ranks(sr, table, labels, *, num_items, k=20,
 
     lv, _ = jax.lax.scan(lv_body, jnp.full((B,), NEG_INF, jnp.float32),
                          jnp.arange(n_tiles))
+    if axis_name is not None:
+        owned = (labels >= col_offset) & (labels - col_offset < n_valid)
+        lv = jax.lax.psum(jnp.where(owned, lv, 0.0), axis_name)
 
     def count_body(carry, i):
         gt, eq = carry
@@ -176,22 +191,36 @@ def streamed_count_ranks(sr, table, labels, *, num_items, k=20,
     zeros = jnp.zeros((B,), jnp.int32)
     (gt, eq), _ = jax.lax.scan(count_body, (zeros, zeros),
                                jnp.arange(n_tiles))
+    if axis_name is not None:
+        gt = jax.lax.psum(gt, axis_name)
+        eq = jax.lax.psum(eq, axis_name)
     rank = gt + eq + 1
     return jnp.where(rank <= k, rank, 0)
 
 
 def _multi_ctx(sr, table, iids, phi, alpha, *, num_items, extra, fusion,
-               scale, normalize_table, compute_dtype, tile):
+               scale, normalize_table, compute_dtype, tile,
+               col_offset=0, n_valid=None, axis_name=None):
     """Shared machinery of the multi-order streamed rankers: slab logits,
     REnorm part masks, the two-part LSE stats pass, and the per-slab
     blended-score function (identical float ops in every caller, so the
     counting ranker's label score is bitwise the score pass-2 computes
-    at that column)."""
+    at that column).
+
+    With ``axis_name`` (mesh; see streamed_count_ranks) the table is one
+    catalog shard, the pass-1 (max, sum-exp) stats merge across shards
+    with a ``pmax`` + rescaled ``psum`` per (example, order, part) —
+    exactly the fused training loss's stat merge
+    (parallel/sharded.py:_merge_partial_lse) — and ``fused_score`` then
+    blends every shard's columns against the same global denominators.
+    """
     B, K, _ = sr.shape
     table, P = _pad_table(table, tile)
     n_tiles = P // tile
     sr_c = sr.astype(compute_dtype) if compute_dtype is not None else sr
     n_parts = 2 if extra else 1
+    if n_valid is None:
+        n_valid = num_items
 
     def slab_logits(i):
         tab = jax.lax.dynamic_slice_in_dim(table, i * tile, tile)
@@ -202,8 +231,9 @@ def _multi_ctx(sr, table, iids, phi, alpha, *, num_items, extra, fusion,
         lo = scale * jax.lax.dot_general(
             sr_c, tab_c, dimension_numbers=(((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)            # [B, K, T]
-        col = i * tile + jnp.arange(tile)
-        imask = (col < num_items)[None, :]                 # [1, T]
+        local_col = i * tile + jnp.arange(tile)
+        col = local_col + col_offset                       # global ids
+        imask = (local_col < n_valid)[None, :]             # [1, T]
         return lo, col, imask
 
     def part_masks(col, imask):
@@ -237,6 +267,14 @@ def _multi_ctx(sr, table, iids, phi, alpha, *, num_items, extra, fusion,
     init = (jnp.full((n_parts, B, K), NEG_INF, jnp.float32),
             jnp.zeros((n_parts, B, K), jnp.float32))
     (ms, ss), _ = jax.lax.scan(lse_body, init, jnp.arange(n_tiles))
+    if axis_name is not None:
+        # merge per-shard (max, relative sum-exp) across catalog shards
+        m_g = jax.lax.pmax(ms, axis_name)
+        m_g_safe = jnp.maximum(m_g, NEG_INF * 0.5)
+        ss = jax.lax.psum(
+            ss * jnp.exp(jnp.maximum(ms, NEG_INF * 0.5) - m_g_safe),
+            axis_name)
+        ms = m_g
     m_safe = jnp.maximum(ms, NEG_INF * 0.5)                # [parts, B, K]
     denom = jnp.maximum(ss, jnp.finfo(jnp.float32).tiny)
 
@@ -298,7 +336,8 @@ def streamed_multi_topk_ranks(sr, table, labels, iids, phi, alpha, *,
 def streamed_multi_count_ranks(sr, table, labels, iids, phi, alpha, *,
                                num_items, extra, fusion, k=20, scale=12.0,
                                normalize_table=True, compute_dtype=None,
-                               tile=TILE):
+                               tile=TILE, col_offset=0, n_valid=None,
+                               axis_name=None):
     """Counting form of the multi-order streamed ranker (the default —
     no per-slab sorts; see scoring.label_ranks_by_count for the tie
     argument).
@@ -317,13 +356,16 @@ def streamed_multi_count_ranks(sr, table, labels, iids, phi, alpha, *,
     B, n_tiles, slab_logits, fused_score = _multi_ctx(
         sr, table, iids, phi, alpha, num_items=num_items, extra=extra,
         fusion=fusion, scale=scale, normalize_table=normalize_table,
-        compute_dtype=compute_dtype, tile=tile)
+        compute_dtype=compute_dtype, tile=tile, col_offset=col_offset,
+        n_valid=n_valid, axis_name=axis_name)
     labels = labels.astype(jnp.int32)
+    if n_valid is None:
+        n_valid = num_items
 
     def lv_body(carry, i):
         lo, col, imask = slab_logits(i)
         fused = fused_score(lo, col, imask)
-        local = labels - i * tile
+        local = labels - col_offset - i * tile
         present = (local >= 0) & (local < tile)
         got = jnp.take_along_axis(
             fused, jnp.clip(local, 0, tile - 1)[:, None], axis=1)[:, 0]
@@ -331,6 +373,9 @@ def streamed_multi_count_ranks(sr, table, labels, iids, phi, alpha, *,
 
     lv, _ = jax.lax.scan(lv_body, jnp.full((B,), NEG_INF, jnp.float32),
                          jnp.arange(n_tiles))
+    if axis_name is not None:
+        owned = (labels >= col_offset) & (labels - col_offset < n_valid)
+        lv = jax.lax.psum(jnp.where(owned, lv, 0.0), axis_name)
 
     def count_body(carry, i):
         gt, eq = carry
@@ -345,5 +390,8 @@ def streamed_multi_count_ranks(sr, table, labels, iids, phi, alpha, *,
     zeros = jnp.zeros((B,), jnp.int32)
     (gt, eq), _ = jax.lax.scan(count_body, (zeros, zeros),
                                jnp.arange(n_tiles))
+    if axis_name is not None:
+        gt = jax.lax.psum(gt, axis_name)
+        eq = jax.lax.psum(eq, axis_name)
     rank = gt + eq + 1
     return jnp.where(rank <= k, rank, 0)

@@ -403,45 +403,138 @@ def sharded_count_ranks(mesh, scores, labels, k: int):
     )(scores, labels)
 
 
-def _topk_metrics(mesh, log_probs, labels, valid, cutoff,
-                  rank_method=None):
-    """(hit_count, mrr_sum, n_valid) of one batch over the sharded
-    scores.  ``rank_method`` as in runner._eval_ranks: "count" (default
-    via auto) psums per-shard counts; "topk" keeps the candidate-merge
-    ``sharded_topk`` as the A/B path."""
+def sharded_head_count_ranks(mesh, sr, table, labels, k, *, num_items,
+                             normalize_table=False, compute_dtype=None):
+    """Plain-head mesh eval ranks straight from (sr, raw table).
+
+    Each catalog shard streams its own table rows through the slab
+    counting ranker (ops/streamed_eval.py:streamed_count_ranks with a
+    column offset) and the label logit + two counters merge with three
+    tiny [B] ``psum``s.  Compared to ranking ``model.apply``'s
+    materialised log-probs, this skips the full-catalog log-softmax
+    entirely — its cross-shard max/sum collectives AND the two extra
+    [B, P/mp] HBM passes per shard (positive scaling and log_softmax
+    are rank-preserving; same argument as runner._eval_ranks).
+    """
+    from sessionrec_tpu.ops.streamed_eval import streamed_count_ranks
+
+    def local(sr, tab, labels):
+        ploc = tab.shape[0]
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        offset = (shard * ploc).astype(jnp.int32)
+        n_valid = jnp.clip(num_items - offset, 0, ploc)
+        return streamed_count_ranks(
+            sr, tab, labels, num_items=num_items, k=k,
+            normalize_table=normalize_table, compute_dtype=compute_dtype,
+            col_offset=offset, n_valid=n_valid, axis_name=MODEL_AXIS)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(MODEL_AXIS, None), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )(sr, table, labels)
+
+
+def sharded_multi_count_ranks(mesh, sr, table, labels, iids, phi, alpha, *,
+                              num_items, extra, fusion, k, scale=12.0,
+                              normalize_table=True, compute_dtype=None):
+    """MSGIFSR REnorm/fusion mesh eval ranks from ``head_multi`` outputs —
+    neither the ``[B, K, P]`` score tensors nor the ``[B, P]`` session
+    mask ever materialise on the mesh (they did via ``model.apply``
+    until round 5).  Per shard: the streamed two-pass counting ranker
+    over local table rows; the (max, sum-exp) softmax stats merge across
+    shards exactly like the fused training loss's
+    (_merge_partial_lse-style pmax + rescaled psum inside
+    ops/streamed_eval._multi_ctx), then label score and counters merge
+    with [B] psums.  Reference score: msgifsr.py:283-317."""
+    from sessionrec_tpu.ops.streamed_eval import streamed_multi_count_ranks
+    if phi is None:
+        phi = jnp.zeros(sr.shape[:2] + (2,), jnp.float32)
+
+    def local(sr, tab, labels, iids, phi, alpha):
+        ploc = tab.shape[0]
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        offset = (shard * ploc).astype(jnp.int32)
+        n_valid = jnp.clip(num_items - offset, 0, ploc)
+        return streamed_multi_count_ranks(
+            sr, tab, labels, iids, phi, alpha, num_items=num_items,
+            extra=extra, fusion=fusion, k=k, scale=scale,
+            normalize_table=normalize_table, compute_dtype=compute_dtype,
+            col_offset=offset, n_valid=n_valid, axis_name=MODEL_AXIS)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None), P(MODEL_AXIS, None),
+                  P(DATA_AXIS), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None, None), P()),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )(sr, table, labels.astype(jnp.int32), iids.astype(jnp.int32), phi,
+      alpha)
+
+
+def _sharded_eval_ranks(model, mesh, params, state, batch, cutoff,
+                        rank_method=None):
+    """Label ranks of one batch on the mesh.
+
+    Counting (the default) ranks from the head outputs without
+    materialising catalog-sized score tensors or paying the
+    log-softmax collectives; ``rank_method="topk"`` keeps the
+    apply + candidate-merge path as the A/B reference."""
+    if not scoring.use_count_ranks(rank_method):
+        log_probs, _ = model.apply(params, state, batch, training=False,
+                                   rng=None)
+        log_probs = jax.lax.with_sharding_constraint(
+            log_probs, NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)))
+        _, idx = sharded_topk(mesh, log_probs, cutoff)
+        hit = idx == batch.labels[:, None]
+        rank = jnp.argmax(hit, axis=-1) + 1
+        return jnp.where(jnp.any(hit, axis=-1), rank, 0)
+    if getattr(model, "has_plain_head", False):
+        sr, table, _ = model.head(params, state, batch, training=False,
+                                  rng=None)
+        return sharded_head_count_ranks(
+            mesh, sr, table, batch.labels, cutoff,
+            num_items=model.num_items,
+            normalize_table=getattr(model, "table_norm", False),
+            compute_dtype=model.cdt)
+    if getattr(model, "has_multi_head", False):
+        sr, table, phi, alpha, iids, _ = model.head_multi(
+            params, state, batch, training=False, rng=None)
+        return sharded_multi_count_ranks(
+            mesh, sr, table, batch.labels, iids, phi, alpha,
+            num_items=model.num_items, extra=model.extra,
+            fusion=model.fusion, k=cutoff, scale=float(model.scale),
+            normalize_table=getattr(model, "table_norm", False),
+            compute_dtype=model.cdt)
+    log_probs, _ = model.apply(params, state, batch, training=False,
+                               rng=None)
     log_probs = jax.lax.with_sharding_constraint(
         log_probs, NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)))
-    from sessionrec_tpu.ops.scoring import use_count_ranks
-    if use_count_ranks(rank_method):
-        ranks = sharded_count_ranks(mesh, log_probs, labels, cutoff)
-    else:
-        _, idx = sharded_topk(mesh, log_probs, cutoff)
-        hit = idx == labels[:, None]
-        rank = jnp.argmax(hit, axis=-1) + 1
-        ranks = jnp.where(jnp.any(hit, axis=-1), rank, 0)
-    hit_c = jnp.sum((ranks > 0) * valid)
-    mrr = jnp.sum(jnp.where(ranks > 0, 1.0 / jnp.maximum(ranks, 1), 0.0)
-                  * valid)
-    return hit_c, mrr, jnp.sum(valid)
+    return sharded_count_ranks(mesh, log_probs, batch.labels, cutoff)
 
 
 def make_sharded_unrolled_eval_step(model, mesh, cutoff=20, project=True,
                                     rank_method=None):
     """Mesh counterpart of runner.make_unrolled_eval_step: scan over a
     stacked chunk of eval batches, per-batch distributed ranks over the
-    catalog shards, summed (hit, mrr, n)."""
+    catalog shards (head-based counting by default — see
+    ``_sharded_eval_ranks``), summed (hit, mrr, n)."""
 
     def eval_chunk(params, state, batches):
         if project:
             params = model.project_params(params)
 
         def one(carry, batch):
-            log_probs, _ = model.apply(params, state, batch, training=False,
-                                       rng=None)
-            hit, mrr, n = _topk_metrics(mesh, log_probs, batch.labels,
-                                        batch.valid, cutoff, rank_method)
+            ranks = _sharded_eval_ranks(model, mesh, params, state, batch,
+                                        cutoff, rank_method)
+            v = batch.valid
+            hit = jnp.sum((ranks > 0) * v)
+            mrr = jnp.sum(jnp.where(ranks > 0,
+                                    1.0 / jnp.maximum(ranks, 1), 0.0) * v)
             h, m, c = carry
-            return (h + hit, m + mrr, c + n), None
+            return (h + hit, m + mrr, c + jnp.sum(v)), None
 
         zero = jnp.float32(0.0)
         (h, m, n), _ = jax.lax.scan(one, (zero, zero, zero), batches)
@@ -451,14 +544,17 @@ def make_sharded_unrolled_eval_step(model, mesh, cutoff=20, project=True,
 
 
 def make_sharded_eval_step(model, mesh, cutoff=20, rank_method=None):
-    """Eval step ranking over the catalog shards (counting by default,
-    candidate-merge top-k via ``rank_method="topk"``)."""
+    """Eval step ranking over the catalog shards (head-based counting by
+    default, apply + candidate-merge top-k via ``rank_method="topk"``)."""
 
     def eval_step(params, state, batch):
         params = model.project_params(params)
-        log_probs, _ = model.apply(params, state, batch, training=False,
-                                   rng=None)
-        return _topk_metrics(mesh, log_probs, batch.labels, batch.valid,
-                             cutoff, rank_method)
+        ranks = _sharded_eval_ranks(model, mesh, params, state, batch,
+                                    cutoff, rank_method)
+        v = batch.valid
+        hit = jnp.sum((ranks > 0) * v)
+        mrr = jnp.sum(jnp.where(ranks > 0,
+                                1.0 / jnp.maximum(ranks, 1), 0.0) * v)
+        return hit, mrr, jnp.sum(v)
 
     return jax.jit(eval_step)

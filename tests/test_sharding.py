@@ -167,3 +167,76 @@ def test_dp_only_mesh_warns():
         assert not any("model-parallel" in m for m in records)
     finally:
         logging.getLogger("sessionrec_tpu.train.session").removeHandler(h)
+
+
+def _ccs_batch(order=3, B=8, max_len=8):
+    from sessionrec_tpu.graph.batch import CcsBatch, CcsLevel
+    rng = np.random.default_rng(4)
+    seqs = [list(rng.integers(0, NUM_ITEMS, size=rng.integers(2, max_len + 1)))
+            for _ in range(B)]
+    labels = list(rng.integers(0, NUM_ITEMS, size=B))
+    d = builders.build_ccs_batch(seqs, labels, order, max_len, B)
+    return CcsBatch(levels=tuple(CcsLevel(**lv) for lv in d["levels"]),
+                    inter_in=tuple(d["inter_in"]),
+                    inter_out=tuple(d["inter_out"]),
+                    labels=d["labels"], valid=d["valid"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_multi_head_eval_matches_single_device():
+    """Mesh eval of the MSGIFSR REnorm/fusion head (fused-stats counting,
+    no [B, K, P] scores or [B, P] session mask) == the single-device
+    eval, exactly."""
+    from sessionrec_tpu.models import MSGIFSR
+    from sessionrec_tpu.train.runner import make_eval_step
+    model = MSGIFSR(num_items=NUM_ITEMS, embedding_dim=32, num_layers=1,
+                    order=3, extra=True, fusion=True, feat_drop=0.0)
+    mesh = M.make_mesh(data=4, model=2)
+    tx = make_optimizer(model.init(jax.random.PRNGKey(0))[0], 1e-3, 1e-4, 10)
+    params, state, _ = S.init_sharded(model, tx, mesh, jax.random.PRNGKey(2))
+    batch = _ccs_batch()
+    placed = S.place_batch(mesh, batch)
+    ev = S.make_sharded_eval_step(model, mesh, cutoff=20)
+    hit, mrr, n = ev(params, state, placed)
+
+    host_params = jax.tree_util.tree_map(np.asarray, params)
+    ev1 = make_eval_step(model, cutoff=20)
+    hit1, mrr1, n1 = ev1(host_params, state, batch)
+    assert float(n) == float(n1) == 8
+    assert float(hit) == float(hit1)
+    np.testing.assert_allclose(float(mrr), float(mrr1), rtol=1e-6)
+
+    # the topk A/B path (apply + candidate merge) agrees too
+    ev_ab = S.make_sharded_eval_step(model, mesh, cutoff=20,
+                                     rank_method="topk")
+    hit2, mrr2, _ = ev_ab(params, state, placed)
+    assert float(hit2) == float(hit)
+    np.testing.assert_allclose(float(mrr2), float(mrr), rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_eval_counting_collective_bytes():
+    """The counting mesh eval must move fewer collective bytes than the
+    apply + candidate-merge path, and must not materialise catalog-sized
+    per-example tensors: its collectives are O(B)-sized psums (the
+    apply path all-gathers k*mp candidates per example AND pays the
+    log-softmax's cross-shard reductions)."""
+    from tests.test_zero_opt import collective_bytes
+    from sessionrec_tpu.models import MSGIFSR
+    model = MSGIFSR(num_items=NUM_ITEMS, embedding_dim=32, num_layers=1,
+                    order=2, extra=True, fusion=True, feat_drop=0.0)
+    mesh = M.make_mesh(data=4, model=2)
+    tx = make_optimizer(model.init(jax.random.PRNGKey(0))[0], 1e-3, 1e-4, 10)
+    params, state, _ = S.init_sharded(model, tx, mesh, jax.random.PRNGKey(2))
+    batch = S.place_batch(mesh, _ccs_batch(order=2))
+
+    def compiled_bytes(rank_method):
+        ev = S.make_sharded_eval_step(model, mesh, cutoff=20,
+                                      rank_method=rank_method)
+        hlo = ev.lower(params, state, batch).compile().as_text()
+        b, shapes = collective_bytes(hlo)
+        return sum(b.values()), shapes
+
+    count_bytes, count_shapes = compiled_bytes(None)
+    topk_bytes, _ = compiled_bytes("topk")
+    assert count_bytes < topk_bytes, (count_bytes, topk_bytes, count_shapes)
