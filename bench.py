@@ -122,6 +122,13 @@ CONFIGS = {
     "lessr-real-split": dict(model="lessr", batch=512, dim=32, layers=3,
                              feat_drop=0.2, lengths="real", split=8,
                              bf16_only=True),
+    # eval/serving-only: the WSDM'22 paper head at the P=2^20 design
+    # point — exercises the slab-streamed multi-order eval AND serving
+    # (ops/streamed_eval.py; [B, K, P] would be 6.4G score elements).
+    # Excluded from the train matrix (eval_only).
+    "msgifsr-o3-1m": dict(model="msgifsr", batch=512, dim=256, layers=1,
+                          feat_drop=0.1, order=3, extra=True, fusion=True,
+                          items=1 << 20, lengths="real", eval_only=True),
 }
 
 _REAL_LENS = None
@@ -389,23 +396,50 @@ def measure_eval(name, unroll=8):
                           lambda o: np.asarray(o).sum())
         out["serve_approx_sessions_per_s"] = round(
             unroll * cfg["batch"] / t_serve, 1)
+    elif getattr(model, "has_multi_head", False):
+        # multi-order serving: the slab-streamed two-pass top-k
+        # (serving.make_recommend_step streams automatically here)
+        from sessionrec_tpu import serving
+
+        rec = serving.make_recommend_step(model, k=20)
+
+        def serve_multi(chunk):
+            def body(carry, batch):
+                _, ids = rec(params, state, batch)
+                return carry, ids
+            return jax.lax.scan(body, 0, chunk)[1]
+
+        serve = jax.jit(serve_multi)
+        t_serve = best_of(lambda: serve(chunk),
+                          lambda o: np.asarray(o).sum())
+        out["serve_streamed_sessions_per_s"] = round(
+            unroll * cfg["batch"] / t_serve, 1)
     return out
 
 
 def main(profile_dir=None, only=None):
-    names = [only] if only else list(CONFIGS)
+    names = [only] if only else [n for n in CONFIGS
+                                 if not CONFIGS[n].get("eval_only")]
     prof_name = only if only else "msgifsr-o1"
     results = {}
     for name in names:
+        if CONFIGS[name].get("eval_only"):
+            continue
         results[name] = measure_config(
             name, profile_dir=profile_dir if name == prof_name else None)
         print(f"# {name}: {json.dumps(results[name])}", flush=True)
     eval_results = {}
-    for name in ("msgifsr-o1", "niser-1m"):
-        if name in results:
+    for name in ("msgifsr-o1", "niser-1m", "msgifsr-o3-1m"):
+        if name in results or (CONFIGS[name].get("eval_only")
+                               and (only is None or only == name)):
             eval_results[name] = measure_eval(name)
             print(f"# eval {name}: {json.dumps(eval_results[name])}",
                   flush=True)
+    if not results:
+        print(json.dumps({"metric": "eval-only run", "value": None,
+                          "unit": "", "vs_baseline": None,
+                          "eval": eval_results}))
+        return
     head = results.get("msgifsr-o1") or next(iter(results.values()))
     out = {
         "metric": "MSGIFSR train throughput (yoochoose-1/4 scale, 1 chip, "

@@ -300,14 +300,18 @@ def _multi_ctx(sr, table, iids, phi, alpha, *, num_items, extra, fusion,
     return B, n_tiles, slab_logits, fused_score
 
 
-def streamed_multi_topk_ranks(sr, table, labels, iids, phi, alpha, *,
-                              num_items, extra, fusion, k=20, scale=12.0,
-                              normalize_table=True, compute_dtype=None,
-                              tile=TILE):
-    """Label ranks for MSGIFSR's REnorm/fusion head (msgifsr.py:283-317)
-    without materialising ``[B, K, P]`` scores, via per-slab top-k
-    merges (the ``rank_method="topk"`` A/B path; counting below is the
-    default).
+def streamed_multi_topk(sr, table, iids, phi, alpha, *, num_items, extra,
+                        fusion, k=20, scale=12.0, normalize_table=True,
+                        compute_dtype=None, tile=TILE):
+    """Global top-k (values, item ids) of MSGIFSR's blended REnorm/fusion
+    score (msgifsr.py:283-317) without materialising ``[B, K, P]``
+    scores: pass 1 accumulates the softmax stats, pass 2 forms each
+    slab's blended score and merges its top-k into the running
+    candidates.  Serves the multi-order head at serving-scale catalogs
+    (serving.make_recommend_step); values are raw blended probabilities —
+    rank-equivalent to the ``log(clamp(score))`` the model's apply
+    returns (log is monotone above the clamp; a top-20 score below it
+    cannot occur, see module docstring).
 
     Inputs mirror ``model.head_multi``: ``sr [B, K, d]``, raw ``table``,
     ``phi [B, K, 2]`` or None, ``alpha [K]``, ``iids [B, N]`` level-1
@@ -330,6 +334,20 @@ def streamed_multi_topk_ranks(sr, table, labels, iids, phi, alpha, *,
     init = (jnp.full((B, k), NEG_INF, jnp.float32),
             jnp.zeros((B, k), jnp.int32))
     (vals, idxs), _ = jax.lax.scan(score_body, init, jnp.arange(n_tiles))
+    return vals, idxs
+
+
+def streamed_multi_topk_ranks(sr, table, labels, iids, phi, alpha, *,
+                              num_items, extra, fusion, k=20, scale=12.0,
+                              normalize_table=True, compute_dtype=None,
+                              tile=TILE):
+    """Label ranks for MSGIFSR's REnorm/fusion head via the per-slab
+    top-k merges of ``streamed_multi_topk`` (the ``rank_method="topk"``
+    A/B path; counting below is the default)."""
+    vals, idxs = streamed_multi_topk(
+        sr, table, iids, phi, alpha, num_items=num_items, extra=extra,
+        fusion=fusion, k=k, scale=scale, normalize_table=normalize_table,
+        compute_dtype=compute_dtype, tile=tile)
     return _ranks_of(labels, idxs, vals)
 
 

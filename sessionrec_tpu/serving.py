@@ -101,17 +101,25 @@ def session_batches(sessions, kind, batch_size, max_len, order=1):
         yield batch.replace(valid=jnp.asarray(valid)), n
 
 
-def make_recommend_step(model, k=20, method="exact", recall_target=0.95):
+def make_recommend_step(model, k=20, method="exact", recall_target=0.95,
+                        streamed=None):
     """Jitted (params, state, batch) -> (scores [B, k], item_ids [B, k]).
 
     Plain-head models score raw masked logits straight from
     ``model.head`` (no full-catalog softmax — rank-equivalent, see
-    module docstring); multi-order MSGIFSR scores its fused
-    REnorm/fusion log-probs via ``model.apply``, which materialises
-    ``[B, K, P]`` scores — at very large catalogs (>~1G score elements)
-    shrink ``batch_size`` to fit; a slab-streamed top-k for the fused
-    multi-order score is future work (the eval-side machinery exists in
-    ops/streamed_eval.py).
+    module docstring).  The multi-order MSGIFSR head scores its fused
+    REnorm/fusion blend: via ``model.apply`` while the ``[B, K, P]``
+    score tensors fit (materialised is faster at every size that fits —
+    same policy as eval, runner._auto_stream), and via the slab-streamed
+    two-pass top-k (ops/streamed_eval.py:streamed_multi_topk) above
+    that, so the paper configuration serves at million-item catalogs
+    without shrinking the batch.  Streamed multi-head scores are raw
+    blended probabilities — rank-equivalent to the apply path's
+    log-probs; the ids match exactly (tests/test_serving.py).
+    ``streamed`` forces the choice (None = auto by score-tensor size);
+    ``method="approx"`` applies to the materialised paths only (the
+    streamed path's per-slab exact merge is already the fast form at
+    the scales that stream).
     """
     def step(params, state, batch):
         params = model.project_params(params)
@@ -125,6 +133,23 @@ def make_recommend_step(model, k=20, method="exact", recall_target=0.95):
                                             compute_dtype=model.cdt)
             imask = scoring.item_mask(model.num_items, model.padded_items)
             scores = jnp.where(imask.astype(bool), logits, NEG_INF)
+        elif getattr(model, "has_multi_head", False):
+            from sessionrec_tpu.train.runner import _auto_stream
+            from sessionrec_tpu.ops.streamed_eval import streamed_multi_topk
+            B = batch.labels.shape[0]
+            stream = streamed if streamed is not None else _auto_stream(
+                B, model.padded_items, getattr(model, "order", 1))
+            if stream:
+                sr, table, phi, alpha, iids, _ = model.head_multi(
+                    params, state, batch, training=False, rng=None)
+                return streamed_multi_topk(
+                    sr, table, iids, phi, alpha, num_items=model.num_items,
+                    extra=model.extra, fusion=model.fusion, k=k,
+                    scale=float(model.scale),
+                    normalize_table=getattr(model, "table_norm", False),
+                    compute_dtype=model.cdt)
+            scores, _ = model.apply(params, state, batch, training=False,
+                                    rng=None)
         else:
             scores, _ = model.apply(params, state, batch, training=False,
                                     rng=None)
@@ -155,11 +180,12 @@ def validate_sessions(sessions, num_items):
 
 def recommend(model, params, state, sessions, *, max_len, k=20,
               batch_size=256, method="exact", recall_target=0.95,
-              order=1):
+              order=1, streamed=None):
     """Yield (session, top-k item ids, scores) for each input session."""
     validate_sessions(sessions, model.num_items)
     step = make_recommend_step(model, k=k, method=method,
-                               recall_target=recall_target)
+                               recall_target=recall_target,
+                               streamed=streamed)
     kind = _KIND[type(model).__name__.lower()]
     done = 0
     for batch, n in session_batches(sessions, kind, batch_size, max_len,

@@ -128,3 +128,28 @@ def test_recommend_msgifsr_multi_head():
         lp, _ = model.apply(pp, state, batch, training=False, rng=None)
         _, want = jax.lax.top_k(lp[0], 7)
         np.testing.assert_array_equal(np.asarray(ids), np.asarray(want))
+
+
+def test_recommend_msgifsr_streamed_matches_apply():
+    """The slab-streamed multi-order serving path (engaged automatically
+    at serving-scale catalogs) returns exactly the ids the materialised
+    apply path would."""
+    from sessionrec_tpu.models import MSGIFSR
+
+    model = MSGIFSR(num_items=50, embedding_dim=16, num_layers=1,
+                    order=3, extra=True, fusion=True, feat_drop=0.0)
+    params, state = model.init(jax.random.PRNGKey(4))
+    rng = np.random.default_rng(5)
+    sessions = [list(rng.integers(0, 50, size=rng.integers(2, 7)))
+                for _ in range(6)]
+    kw = dict(max_len=7, k=9, batch_size=3, order=3)
+    got_apply = list(serving.recommend(model, params, state, sessions,
+                                       streamed=False, **kw))
+    got_stream = list(serving.recommend(model, params, state, sessions,
+                                        streamed=True, **kw))
+    for (s1, ids1, v1), (s2, ids2, v2) in zip(got_apply, got_stream):
+        assert s1 == s2
+        np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
+        # streamed values are raw blended probabilities, the apply path's
+        # are their (clamped) logs — same order, different space
+        assert all(a >= b for a, b in zip(v2, v2[1:]))
