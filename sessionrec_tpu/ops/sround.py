@@ -46,18 +46,42 @@ def _hash16(seed, shape):
     return h >> 16
 
 
-def stochastic_round_bf16(x, seed):
-    """Round f32 ``x`` (any rank >= 1) to bf16, stochastically.
+def stochastic_round_bf16_bits(x, seed):
+    """The bf16 BIT PATTERNS (uint16) of ``stochastic_round_bf16(x, seed)``.
 
-    ``seed``: int32 scalar (or 1-element array); vary it per step — the
-    mask is a pure function of (seed, element index).
+    Identical rounding decisions — the final f32 value has zeroed low
+    mantissa bits, so its bf16 cast is exactly its top 16 bits; for the
+    non-finite passthrough the quiet bit is OR'd onto NaNs whose payload
+    lives only in the truncated low bits (an f32->bf16 ``convert`` also
+    quiets NaNs; Inf has a zero mantissa and truncates exactly).
+
+    Exists so the mesh table update can all-gather the 2-byte patterns:
+    gathering the bf16 VALUES kept losing to XLA rescheduling the final
+    f32->bf16 convert past the collective (even behind an explicit
+    all_gather + optimization_barrier, observed on compiled HLO), which
+    doubled the dominant wire term (train/runner.py
+    _sharded_bf16_table_update).
     """
     x = x.astype(jnp.float32)
     shape2d = (int(x.size // x.shape[-1]), x.shape[-1])
     u = jax.lax.bitcast_convert_type(x, jnp.uint32).reshape(shape2d)
     r = _hash16(jnp.asarray(seed).reshape(()).astype(jnp.uint32), shape2d)
     finite = jnp.isfinite(x).reshape(shape2d)
-    y = jnp.where(finite, (u + r) & jnp.uint32(0xFFFF0000), u)
-    f = jax.lax.bitcast_convert_type(y, jnp.float32)
-    # exact: f's low mantissa bits are zero, so this cast never re-rounds
-    return f.astype(jnp.bfloat16).reshape(x.shape)
+    is_nan = jnp.isnan(x).reshape(shape2d)
+    y = jnp.where(finite, u + r,
+                  jnp.where(is_nan, u | jnp.uint32(0x00400000), u))
+    return (y >> jnp.uint32(16)).astype(jnp.uint16).reshape(x.shape)
+
+
+def bf16_from_bits(bits):
+    """uint16 bf16 bit patterns -> bfloat16 values (pure bitcast)."""
+    return jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
+
+
+def stochastic_round_bf16(x, seed):
+    """Round f32 ``x`` (any rank >= 1) to bf16, stochastically.
+
+    ``seed``: int32 scalar (or 1-element array); vary it per step — the
+    mask is a pure function of (seed, element index).
+    """
+    return bf16_from_bits(stochastic_round_bf16_bits(x, seed))

@@ -100,7 +100,67 @@ def _constrain_params(mesh, params):
                                             param_sharding(mesh, params))
 
 
-def _apply_updates_project(model, params, updates, rng):
+def _sharded_bf16_table_update(mesh, model, emb, upd, seed):
+    """Per-shard f32 add + max-norm projection + stochastic rounding of
+    the bf16 table, inside an explicit shard_map over BOTH mesh axes.
+
+    Left to GSPMD, the round-4 HLO byte counts showed the table-update
+    all-gather over ``data`` riding FLOAT32 — the dominant single
+    collective of the projected step (19.1 MB at dp=8/mp=2) — because
+    the rounding was scheduled after the gather.  Making the
+    update+renorm+round explicitly (model, data)-sharded pins the
+    rounding BEFORE the gather, so ``_constrain_params``'s data-axis
+    all-gather of the updated table moves bf16 — half the bytes
+    (tests/test_zero_opt.py:test_bf16_table_allgather_bytes).
+
+    The SR seed folds the linear shard id in, so shards draw independent
+    masks (ops/sround hashes LOCAL flat indices inside shard_map);
+    draws stay a pure function of the checkpointed step key, so resume
+    replays identical rounding.  The in-shard projection mirrors
+    ``model.project_params`` exactly: all four models' projection is
+    row-wise table renorm iff ``model.has_max_norm`` (models/lessr.py,
+    models/msgifsr.py) — row-wise, so per-shard application is the
+    identity-equal split of the global one.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from sessionrec_tpu.ops.sround import (bf16_from_bits,
+                                           stochastic_round_bf16_bits)
+    from sessionrec_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    has_max_norm = getattr(model, "has_max_norm", False)
+    dp = mesh.shape[DATA_AXIS]
+
+    def local(emb_l, upd_l):
+        # emb arrives at its canonical P(model, None) sharding (each
+        # device holds the model shard's full rows) and the data-chunk
+        # is sliced HERE — demanding P((model, data)) on the table at
+        # the shard_map boundary instead made GSPMD collapse the scan
+        # carry to that sharding, breaking the params' canonical-
+        # sharding invariant across chunks
+        didx = jax.lax.axis_index(DATA_AXIS)
+        rows = upd_l.shape[0]
+        emb_slice = jax.lax.dynamic_slice_in_dim(emb_l, didx * rows, rows)
+        new = emb_slice.astype(jnp.float32) + upd_l.astype(jnp.float32)
+        if has_max_norm:
+            from sessionrec_tpu.models.lessr import renorm_rows
+            new = renorm_rows(new, 1.0)
+        sid = (jax.lax.axis_index(MODEL_AXIS) * dp + didx).astype(jnp.int32)
+        # gather the rounded table as its uint16 BIT PATTERNS: gathering
+        # bf16 values kept losing to XLA rescheduling the f32->bf16
+        # convert past the collective (even explicit + barrier'd), which
+        # re-widened the wire to f32 — integer bits leave nothing to
+        # hoist (ops/sround.py:stochastic_round_bf16_bits)
+        bits = stochastic_round_bf16_bits(new, seed + sid * 0x27D4EB2F)
+        return bf16_from_bits(
+            jax.lax.all_gather(bits, DATA_AXIS, axis=0, tiled=True))
+
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(MODEL_AXIS, None),
+                               P((MODEL_AXIS, DATA_AXIS), None)),
+                     out_specs=P(MODEL_AXIS, None), check_vma=False)(emb, upd)
+
+
+def _apply_updates_project(model, params, updates, rng, mesh=None):
     """``optax.apply_updates`` + max-norm projection, with unbiased
     stochastic rounding when the embedding table is stored bfloat16.
 
@@ -109,18 +169,30 @@ def _apply_updates_project(model, params, updates, rng):
     for bf16 tables the add and the max-norm projection run in float32
     and the result rounds back with ops/sround.py — E[table'] equals the
     f32 trajectory.  The SR seed folds out of the step's PRNG key, so
-    resume-from-checkpoint replays identical rounding decisions.
+    resume-from-checkpoint replays identical rounding decisions.  Under
+    a mesh the whole table update runs per shard so the table's
+    data-axis all-gather moves bf16 (``_sharded_bf16_table_update``).
     """
     new_params = optax.apply_updates(params, updates)
     emb = params.get("embedding") if isinstance(params, dict) else None
     if emb is not None and emb.dtype == jnp.bfloat16:
         from sessionrec_tpu.ops.sround import stochastic_round_bf16
+        seed = jax.random.key_data(jax.random.fold_in(rng, 0x5EED)) \
+            .ravel()[-1].astype(jnp.int32)
+        if mesh is not None:
+            from sessionrec_tpu.parallel.sharded import _table_grad_layout
+            scatter, _ = _table_grad_layout(mesh, emb)
+            if scatter:
+                # project_params only ever touches the embedding (all
+                # four models), which the shard_map projects in-shard —
+                # the other leaves are final after apply_updates
+                new_params["embedding"] = _sharded_bf16_table_update(
+                    mesh, model, emb, updates["embedding"], seed)
+                return new_params
         new_params["embedding"] = (emb.astype(jnp.float32)
                                    + updates["embedding"]
                                    .astype(jnp.float32))
         new_params = model.project_params(new_params)
-        seed = jax.random.key_data(jax.random.fold_in(rng, 0x5EED)) \
-            .ravel()[-1].astype(jnp.int32)
         new_params["embedding"] = stochastic_round_bf16(
             new_params["embedding"], seed)
         return new_params
@@ -146,7 +218,8 @@ def make_train_step(model, tx, *, fused=True, mesh=None):
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = _apply_updates_project(model, params, updates, rng)
+        params = _apply_updates_project(model, params, updates, rng,
+                                        mesh=mesh)
         params = _constrain_params(mesh, params)
         return params, new_state, opt_state, loss
 
@@ -186,7 +259,8 @@ def make_unrolled_train_step(model, tx, unroll: int, *, fused=True,
             (loss, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
-            params = _apply_updates_project(model, params, updates, rng)
+            params = _apply_updates_project(model, params, updates,
+                                            rng, mesh=mesh)
             params = _constrain_params(mesh, params)
             return (params, new_state, opt_state), loss
 

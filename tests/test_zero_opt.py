@@ -142,3 +142,68 @@ def test_moments_sharded_over_both_axes():
     for mu in mus:
         shard_rows = next(iter(mu.addressable_shards)).data.shape[0]
         assert shard_rows == mu.shape[0] // 8, (shard_rows, mu.shape)
+
+def _compiled_bf16_train_step(mesh):
+    from sessionrec_tpu.graph import builders
+    from sessionrec_tpu.graph.batch import SessionGraphBatch
+    from sessionrec_tpu.models import NISER
+    from sessionrec_tpu.train.optim import make_optimizer
+    from sessionrec_tpu.train.runner import make_train_step
+
+    num_items = 1000
+    rng = np.random.default_rng(0)
+    seqs = [list(rng.integers(0, num_items, size=rng.integers(2, 9)))
+            for _ in range(16)]
+    labels = list(rng.integers(0, num_items, size=16))
+    batch = SessionGraphBatch(
+        **builders.build_session_batch(seqs, labels, 8, 16))
+
+    model = NISER(num_items=num_items, embedding_dim=64, num_layers=1,
+                  feat_drop=0.0, table_dtype="bfloat16")
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(params, lr=1e-2, weight_decay=1e-4,
+                        steps_per_epoch=10)
+    params, state, opt_state = S.init_sharded(model, tx, mesh,
+                                              jax.random.PRNGKey(0))
+    batch = S.place_batch(mesh, batch)
+    step = make_train_step(model, tx, fused=True, mesh=mesh)
+    lowered = step.lower(params, state, opt_state, batch,
+                         jax.random.PRNGKey(1))
+    return lowered.compile().as_text()
+
+
+def test_bf16_table_allgather_bytes():
+    """With a bf16 table the per-shard stochastic rounding runs BEFORE
+    the data-axis gather of the updated table
+    (runner._sharded_bf16_table_update), so the step's largest
+    collective rides bf16: no f32 all-gather at table scale may remain,
+    and a bf16 table-scale all-gather must exist."""
+    # padded table [1024, 64]; per (model,data) shard rows = 1024/8 = 128
+    table_shard_rows = 1024 // 8
+    mesh = M.make_mesh(data=4, model=2)
+    hlo = _compiled_bf16_train_step(mesh)
+    _, shapes = collective_bytes(hlo)
+    ag = shapes.get("all-gather", [])
+
+    def sized(dt):
+        # any gather whose result covers the model shard's full rows
+        # ([512, 64] here) — batch-side gathers are far smaller
+        n_min = table_shard_rows * 4 * 64
+        out = []
+        for s in ag:
+            if not s.startswith(dt + "["):
+                continue
+            dims = s[len(dt) + 1:-1].split(",")
+            n = 1
+            for d in dims:
+                if d:
+                    n *= int(d)
+            if n >= n_min:
+                out.append(s)
+        return out
+
+    # the rounded table gathers as its uint16 bit patterns (gathering
+    # bf16 VALUES loses to XLA re-hoisting the convert, ops/sround.py)
+    assert sized("u16") or sized("bf16"), \
+        ("no table-scale 2-byte all-gather", ag)
+    assert not sized("f32"), ("table-scale f32 all-gather survived", ag)
