@@ -403,14 +403,17 @@ def measure_eval(name, unroll=8):
 
         rec = serving.make_recommend_step(model, k=20)
 
-        def serve_multi(chunk):
+        def serve_multi(params, state, chunk):
+            # params enter as ARGUMENTS — closing over them would embed
+            # the table as a program constant (0.5 GB at P=2^20, which
+            # overflows the remote-compile request)
             def body(carry, batch):
                 _, ids = rec(params, state, batch)
                 return carry, ids
             return jax.lax.scan(body, 0, chunk)[1]
 
         serve = jax.jit(serve_multi)
-        t_serve = best_of(lambda: serve(chunk),
+        t_serve = best_of(lambda: serve(params, state, chunk),
                           lambda o: np.asarray(o).sum())
         out["serve_streamed_sessions_per_s"] = round(
             unroll * cfg["batch"] / t_serve, 1)

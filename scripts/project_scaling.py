@@ -53,7 +53,7 @@ BW_RING = 2 * BW_LINK     # ring along one torus axis uses both directions
 
 
 def compiled_hlo(dp, mp, batch_per_chip=512, dim=256, order=1,
-                 num_items=37000):
+                 num_items=37000, split=None):
     from sessionrec_tpu.graph import builders
     from sessionrec_tpu.graph.batch import CcsBatch, CcsLevel
     from sessionrec_tpu.models import MSGIFSR
@@ -68,11 +68,23 @@ def compiled_hlo(dp, mp, batch_per_chip=512, dim=256, order=1,
     seqs = [list(rng.integers(0, num_items, size=rng.integers(2, 16)))
             for _ in range(n_real)]
     labels = list(rng.integers(0, num_items, size=n_real))
-    d = builders.build_ccs_batch(seqs, labels, order, 20, B)
-    batch = CcsBatch(levels=tuple(CcsLevel(**lv) for lv in d["levels"]),
-                     inter_in=tuple(d["inter_in"]),
-                     inter_out=tuple(d["inter_out"]),
-                     labels=d["labels"], valid=d["valid"])
+    def mk(seqs2, labels2, max_len, size):
+        d = builders.build_ccs_batch(seqs2, labels2, order, max_len, size)
+        return CcsBatch(levels=tuple(CcsLevel(**lv) for lv in d["levels"]),
+                        inter_in=tuple(d["inter_in"]),
+                        inter_out=tuple(d["inter_out"]),
+                        labels=d["labels"], valid=d["valid"])
+    if split:
+        # length-bucketed batch at the realistic caps the bench measured
+        # (B_short = B, B_long = B/4 covers the observed long counts)
+        from sessionrec_tpu.graph.batch import SplitBatch
+        ss = [(x, l) for x, l in zip(seqs, labels) if len(x) <= split]
+        ls = [(x, l) for x, l in zip(seqs, labels) if len(x) > split]
+        batch = SplitBatch(
+            short=mk([x for x, _ in ss], [l for _, l in ss], split, B),
+            long=mk([x for x, _ in ls], [l for _, l in ls], 20, B // 4))
+    else:
+        batch = mk(seqs, labels, 20, B)
 
     model = MSGIFSR(num_items=num_items, embedding_dim=dim, num_layers=1,
                     feat_drop=0.1, order=order,
@@ -145,6 +157,9 @@ def main():
     ap.add_argument("--dp", type=int, nargs="+", default=[8, 16])
     ap.add_argument("--mp", type=int, default=1)
     ap.add_argument("--order", type=int, default=1)
+    ap.add_argument("--split", type=int, default=None,
+                    help="compile the length-bucketed (SplitBatch) step "
+                         "with this short cap instead of the unsplit one")
     args = ap.parse_args()
 
     from test_zero_opt import collective_bytes
@@ -158,7 +173,8 @@ def main():
             print(f"| {dp} | {args.mp} | needs {n_dev} devices "
                   f"(have {len(jax.devices())}) | - | - | - |")
             continue
-        hlo = compiled_hlo(dp, args.mp, order=args.order)
+        hlo = compiled_hlo(dp, args.mp, order=args.order,
+                           split=args.split)
         colls = collectives(hlo, dp)
         t_comm = sum(ring_time(k, b, g) for k, b, g in colls)
         eff = args.step_ms / (args.step_ms + 1e3 * t_comm)

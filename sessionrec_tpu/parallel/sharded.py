@@ -403,6 +403,75 @@ def sharded_count_ranks(mesh, scores, labels, k: int):
     )(scores, labels)
 
 
+def shard_concat_rows(mesh, pieces):
+    """Concatenate arrays along axis 0 PER DATA SHARD (zero wire).
+
+    A plain ``jnp.concatenate`` of two data-sharded blocks is a global
+    resharding: shard i of the result owns a row range spanning both
+    blocks, so GSPMD inserts shuffles — and, measured on the split-batch
+    mesh step, gave up and REPLICATED the whole upstream graph-side
+    (54 MB of lookup all-gathers per step at dp=8).  Each shard instead
+    concatenates its own local rows; the resulting global row order is
+    shard-interleaved, which every consumer here is invariant to (masked
+    mean losses, per-row ranks, metric sums).  All pieces must be
+    data-sharded on axis 0 with per-shard row counts intact (the split
+    loader rounds its caps accordingly)."""
+    def local(*xs):
+        return jnp.concatenate(xs, axis=0)
+
+    nd = pieces[0].ndim
+    spec = P(DATA_AXIS, *([None] * (nd - 1)))
+    return shard_map(local, mesh=mesh, in_specs=(spec,) * len(pieces),
+                     out_specs=spec, check_vma=False)(*pieces)
+
+
+def split_head_sharded(model, mesh, params, state, batch, *, training,
+                       rng):
+    """(sr, table, labels, valid, new_state) for a SplitBatch on the
+    mesh: the graph-side runs once per length block and the session
+    vectors join with ``shard_concat_rows`` instead of the model's
+    global concat (see there).  Valid for BN-free models at training
+    time and for EVERY model at eval time (eval BN uses running
+    stats, so blocks are independent)."""
+    from sessionrec_tpu.models.layers import split_rngs
+    rs, rl = split_rngs(rng)
+    sr_s, _, _ = model.head(params, state, batch.short, training=training,
+                            rng=rs)
+    sr_l, table, new_state = model.head(params, state, batch.long,
+                                        training=training, rng=rl)
+    sr = shard_concat_rows(mesh, [sr_s, sr_l])
+    labels = shard_concat_rows(mesh, [batch.short.labels.astype(jnp.int32),
+                                      batch.long.labels.astype(jnp.int32)])
+    valid = shard_concat_rows(mesh, [batch.short.valid, batch.long.valid])
+    return sr, table, labels, valid, new_state
+
+
+def split_head_multi_sharded(model, mesh, params, state, batch, *,
+                             training, rng):
+    """Mesh SplitBatch form of ``model.head_multi`` (see
+    split_head_sharded): returns (sr, table, phi, alpha, iids, labels,
+    valid, new_state) with per-shard row joins."""
+    from sessionrec_tpu.models.layers import split_rngs
+    rs, rl = split_rngs(rng)
+    sr_s, _, phi_s, alpha, iids_s, _ = model.head_multi(
+        params, state, batch.short, training=training, rng=rs)
+    sr_l, table, phi_l, alpha, iids_l, new_state = model.head_multi(
+        params, state, batch.long, training=training, rng=rl)
+    sr = shard_concat_rows(mesh, [sr_s, sr_l])
+    w = max(iids_s.shape[1], iids_l.shape[1])
+    iids = shard_concat_rows(mesh, [
+        jnp.pad(iids_s, ((0, 0), (0, w - iids_s.shape[1])),
+                constant_values=-1),
+        jnp.pad(iids_l, ((0, 0), (0, w - iids_l.shape[1])),
+                constant_values=-1)])
+    phi = None if phi_s is None else shard_concat_rows(mesh,
+                                                       [phi_s, phi_l])
+    labels = shard_concat_rows(mesh, [batch.short.labels.astype(jnp.int32),
+                                      batch.long.labels.astype(jnp.int32)])
+    valid = shard_concat_rows(mesh, [batch.short.valid, batch.long.valid])
+    return sr, table, phi, alpha, iids, labels, valid, new_state
+
+
 def sharded_head_count_ranks(mesh, sr, table, labels, k, *, num_items,
                              normalize_table=False, compute_dtype=None):
     """Plain-head mesh eval ranks straight from (sr, raw table).
@@ -476,12 +545,19 @@ def sharded_multi_count_ranks(mesh, sr, table, labels, iids, phi, alpha, *,
 
 def _sharded_eval_ranks(model, mesh, params, state, batch, cutoff,
                         rank_method=None):
-    """Label ranks of one batch on the mesh.
+    """(label ranks, matching valid mask) of one batch on the mesh.
 
     Counting (the default) ranks from the head outputs without
     materialising catalog-sized score tensors or paying the
     log-softmax collectives; ``rank_method="topk"`` keeps the
-    apply + candidate-merge path as the A/B reference."""
+    apply + candidate-merge path as the A/B reference.  For a
+    SplitBatch the blocks' rows join per data shard
+    (shard_concat_rows) — eval-mode BN uses running stats, so
+    per-block heads are exact for every model — and the returned
+    ``valid`` is in the SAME shard-interleaved row order as the ranks
+    (the caller must not pair ranks with ``batch.valid``)."""
+    from sessionrec_tpu.graph.batch import SplitBatch
+    is_split = isinstance(batch, SplitBatch)
     if not scoring.use_count_ranks(rank_method):
         log_probs, _ = model.apply(params, state, batch, training=False,
                                    rng=None)
@@ -490,29 +566,42 @@ def _sharded_eval_ranks(model, mesh, params, state, batch, cutoff,
         _, idx = sharded_topk(mesh, log_probs, cutoff)
         hit = idx == batch.labels[:, None]
         rank = jnp.argmax(hit, axis=-1) + 1
-        return jnp.where(jnp.any(hit, axis=-1), rank, 0)
+        return jnp.where(jnp.any(hit, axis=-1), rank, 0), batch.valid
     if getattr(model, "has_plain_head", False):
-        sr, table, _ = model.head(params, state, batch, training=False,
-                                  rng=None)
+        if is_split:
+            sr, table, labels, valid, _ = split_head_sharded(
+                model, mesh, params, state, batch, training=False,
+                rng=None)
+        else:
+            sr, table, _ = model.head(params, state, batch, training=False,
+                                      rng=None)
+            labels, valid = batch.labels, batch.valid
         return sharded_head_count_ranks(
-            mesh, sr, table, batch.labels, cutoff,
+            mesh, sr, table, labels, cutoff,
             num_items=model.num_items,
             normalize_table=getattr(model, "table_norm", False),
-            compute_dtype=model.cdt)
+            compute_dtype=model.cdt), valid
     if getattr(model, "has_multi_head", False):
-        sr, table, phi, alpha, iids, _ = model.head_multi(
-            params, state, batch, training=False, rng=None)
+        if is_split:
+            sr, table, phi, alpha, iids, labels, valid, _ = \
+                split_head_multi_sharded(model, mesh, params, state, batch,
+                                         training=False, rng=None)
+        else:
+            sr, table, phi, alpha, iids, _ = model.head_multi(
+                params, state, batch, training=False, rng=None)
+            labels, valid = batch.labels, batch.valid
         return sharded_multi_count_ranks(
-            mesh, sr, table, batch.labels, iids, phi, alpha,
+            mesh, sr, table, labels, iids, phi, alpha,
             num_items=model.num_items, extra=model.extra,
             fusion=model.fusion, k=cutoff, scale=float(model.scale),
             normalize_table=getattr(model, "table_norm", False),
-            compute_dtype=model.cdt)
+            compute_dtype=model.cdt), valid
     log_probs, _ = model.apply(params, state, batch, training=False,
                                rng=None)
     log_probs = jax.lax.with_sharding_constraint(
         log_probs, NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)))
-    return sharded_count_ranks(mesh, log_probs, batch.labels, cutoff)
+    return sharded_count_ranks(mesh, log_probs, batch.labels,
+                               cutoff), batch.valid
 
 
 def make_sharded_unrolled_eval_step(model, mesh, cutoff=20, project=True,
@@ -527,9 +616,8 @@ def make_sharded_unrolled_eval_step(model, mesh, cutoff=20, project=True,
             params = model.project_params(params)
 
         def one(carry, batch):
-            ranks = _sharded_eval_ranks(model, mesh, params, state, batch,
-                                        cutoff, rank_method)
-            v = batch.valid
+            ranks, v = _sharded_eval_ranks(model, mesh, params, state,
+                                           batch, cutoff, rank_method)
             hit = jnp.sum((ranks > 0) * v)
             mrr = jnp.sum(jnp.where(ranks > 0,
                                     1.0 / jnp.maximum(ranks, 1), 0.0) * v)
@@ -549,9 +637,8 @@ def make_sharded_eval_step(model, mesh, cutoff=20, rank_method=None):
 
     def eval_step(params, state, batch):
         params = model.project_params(params)
-        ranks = _sharded_eval_ranks(model, mesh, params, state, batch,
-                                    cutoff, rank_method)
-        v = batch.valid
+        ranks, v = _sharded_eval_ranks(model, mesh, params, state, batch,
+                                       cutoff, rank_method)
         hit = jnp.sum((ranks > 0) * v)
         mrr = jnp.sum(jnp.where(ranks > 0,
                                 1.0 / jnp.maximum(ranks, 1), 0.0) * v)

@@ -38,19 +38,36 @@ def make_loss_fn(model, state, batch, rng, *, fused=True, mesh=None):
     with REnorm/fusion) falls back to the model's full log-prob path
     + nll.
     """
+    from sessionrec_tpu.graph.batch import SplitBatch
+    # Mesh + SplitBatch: join the blocks' rows per data shard instead of
+    # letting the model's global concat force GSPMD to replicate the
+    # graph-side (parallel/sharded.py:shard_concat_rows).  Training-time
+    # BatchNorm needs the model's own joint-moments split path, so LESSR
+    # keeps the global concat (correct, mesh-suboptimal — documented).
+    split_mesh = (mesh is not None and isinstance(batch, SplitBatch)
+                  and not getattr(model, "batch_norm", False))
+
     if fused and getattr(model, "has_plain_head", False):
         def loss_fn(p):
-            sr, table, new_state = model.head(p, state, batch,
-                                              training=True, rng=rng)
             kw = dict(scale=float(model.scale) if model.scale else 1.0,
                       num_items=model.num_items,
                       normalize_table=getattr(model, "table_norm", False))
             if mesh is not None:
-                from sessionrec_tpu.parallel.sharded import \
-                    fused_nll_loss_sharded
-                loss = fused_nll_loss_sharded(mesh, sr, table, batch.labels,
-                                              batch.valid, **kw)
+                from sessionrec_tpu.parallel.sharded import (
+                    fused_nll_loss_sharded, split_head_sharded)
+                if split_mesh:
+                    sr, table, labels, valid, new_state = \
+                        split_head_sharded(model, mesh, p, state, batch,
+                                           training=True, rng=rng)
+                else:
+                    sr, table, new_state = model.head(p, state, batch,
+                                                      training=True, rng=rng)
+                    labels, valid = batch.labels, batch.valid
+                loss = fused_nll_loss_sharded(mesh, sr, table, labels,
+                                              valid, **kw)
             else:
+                sr, table, new_state = model.head(p, state, batch,
+                                                  training=True, rng=rng)
                 loss = xent.fused_nll_loss(sr, table, batch.labels,
                                            batch.valid, **kw)
             return loss, new_state
@@ -60,18 +77,28 @@ def make_loss_fn(model, state, batch, rng, *, fused=True, mesh=None):
         # MSGIFSR with REnorm and/or IFR fusion: fused multi-order loss —
         # neither the [B, P] score tensors nor the session mask exist
         def loss_fn(p):
-            sr, table, phi, alpha, iids, new_state = model.head_multi(
-                p, state, batch, training=True, rng=rng)
             kw = dict(scale=float(model.scale), num_items=model.num_items,
                       normalize_table=getattr(model, "table_norm", False),
                       extra=model.extra, fusion=model.fusion)
             if mesh is not None:
-                from sessionrec_tpu.parallel.sharded import \
-                    fused_multi_loss_sharded
+                from sessionrec_tpu.parallel.sharded import (
+                    fused_multi_loss_sharded, split_head_multi_sharded)
+                if split_mesh:
+                    (sr, table, phi, alpha, iids, labels, valid,
+                     new_state) = split_head_multi_sharded(
+                        model, mesh, p, state, batch, training=True,
+                        rng=rng)
+                else:
+                    sr, table, phi, alpha, iids, new_state = \
+                        model.head_multi(p, state, batch, training=True,
+                                         rng=rng)
+                    labels, valid = batch.labels, batch.valid
                 loss = fused_multi_loss_sharded(
-                    mesh, sr, table, batch.labels, batch.valid, iids, phi,
+                    mesh, sr, table, labels, valid, iids, phi,
                     alpha, **kw)
             else:
+                sr, table, phi, alpha, iids, new_state = model.head_multi(
+                    p, state, batch, training=True, rng=rng)
                 from sessionrec_tpu.ops.xent_multi import multi_nll_loss
                 loss = multi_nll_loss(sr, table, batch.labels, batch.valid,
                                       iids, phi, alpha, **kw)

@@ -171,3 +171,46 @@ def test_split_unrolled_runner_end_to_end():
     (mrr_a, hit_a), (mrr_b, hit_b) = results
     assert abs(mrr_a - mrr_b) < 5e-3
     assert abs(hit_a - hit_b) < 5e-3
+
+
+@pytest.mark.skipif(len(jax.__dict__) and len(jax.devices()) < 8,
+                    reason="needs 8 devices")
+def test_split_mesh_train_and_eval_match_single_device():
+    """Mesh + SplitBatch: the per-shard row joins (shard_concat_rows)
+    must reproduce the single-device split loss and eval metrics."""
+    from sessionrec_tpu.parallel import sharded as S
+    from sessionrec_tpu.parallel.mesh import make_mesh
+    from sessionrec_tpu.train.optim import make_optimizer
+
+    model = MSGIFSR(num_items=60, embedding_dim=16, num_layers=1,
+                    order=2, extra=True, fusion=True, feat_drop=0.0)
+    # caps must divide dp=4: batch 32 -> mult 8 caps
+    sessions = _sessions(n=60)
+    loader = BatchLoader(sessions, "ccs", 32, 12, order=2, prefetch=0,
+                         use_native=False, split_len=6)
+    batch = next(iter(loader))
+    params, state = model.init(jax.random.PRNGKey(2))
+    params = model.project_params(params)
+
+    # single-device loss + eval
+    loss_fn = R.make_loss_fn(model, state, batch, None)
+    loss1, _ = jax.jit(lambda p: loss_fn(p))(params)
+    ev1 = R.make_eval_step(model, cutoff=20)
+    h1, m1, n1 = ev1(params, state, batch)
+
+    mesh = make_mesh(data=4, model=2)
+    tx = make_optimizer(params, 1e-3, 1e-4, 10)
+    p2, s2, _ = S.init_sharded(model, tx, mesh, jax.random.PRNGKey(2))
+    p2 = jax.jit(model.project_params)(p2)
+    b2 = S.place_batch(mesh, batch)
+
+    def mesh_loss(p):
+        return R.make_loss_fn(model, s2, b2, None, mesh=mesh)(p)
+    loss2, _ = jax.jit(mesh_loss)(p2)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=2e-5)
+
+    ev2 = S.make_sharded_eval_step(model, mesh, cutoff=20)
+    h2, m2, n2 = ev2(p2, s2, b2)
+    assert float(n2) == float(n1)
+    assert float(h2) == float(h1)
+    np.testing.assert_allclose(float(m2), float(m1), rtol=1e-6)

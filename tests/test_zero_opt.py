@@ -19,7 +19,8 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 devices")
 
 _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
-                "pred": 1, "s8": 1, "u8": 1, "f64": 8, "s64": 8}
+                "s16": 2, "u16": 2, "pred": 1, "s8": 1, "u8": 1,
+                "f64": 8, "s64": 8}
 
 _COLL_RE = re.compile(
     r"=\s+(\(?[a-z0-9]+\[[^=]*?)\s+"
