@@ -65,6 +65,13 @@ class BatchLoader:
         ``local_batch_slice``).  The epoch order stays the global stream;
         only the built slice is local, so global time-order semantics are
         preserved across data-parallel hosts (README.md:37).
+      split_len: length-bucketed batches — examples with prefix length
+        <= split_len build into a second sub-block at that (smaller)
+        static node cap; each yielded batch is a
+        ``graph.batch.SplitBatch`` holding the SAME example set as the
+        unsplit batch.  Sub-block row caps are computed exactly from
+        the deterministic epoch orders (``_split_caps``).  None/0
+        disables; incompatible with ``batch_slice`` (raises).
     """
 
     def __init__(self, sessions, kind, batch_size, max_len, shuffle=False,
