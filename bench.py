@@ -434,7 +434,7 @@ def main(profile_dir=None, only=None):
     eval_results = {}
     for name in ("msgifsr-o1", "niser-1m", "msgifsr-o3-1m"):
         if name in results or (CONFIGS[name].get("eval_only")
-                               and (only is None or only == name)):
+                               and only in (None, name)):
             eval_results[name] = measure_eval(name)
             print(f"# eval {name}: {json.dumps(eval_results[name])}",
                   flush=True)
@@ -443,10 +443,21 @@ def main(profile_dir=None, only=None):
                           "unit": "", "vs_baseline": None,
                           "eval": eval_results}))
         return
-    head = results.get("msgifsr-o1") or next(iter(results.values()))
+    # Headline (round 5): the north-star MSGIFSR config at the REAL
+    # workload — empirical prefix-length distribution + length-bucketed
+    # batches.  vs_baseline still divides by the round-1 measurement:
+    # the round-1 build was shape-static at the N=20 cap, so its eps on
+    # the realistic distribution equals its uniform-length eps — the
+    # ratio is an honest same-workload comparison.  The uniform-length
+    # unsplit msgifsr-o1 row stays in `configs` for round-over-round
+    # continuity.
+    head = (results.get("msgifsr-o1-real-split")
+            or results.get("msgifsr-o1")
+            or next(iter(results.values())))
     out = {
-        "metric": "MSGIFSR train throughput (yoochoose-1/4 scale, 1 chip, "
-                  "bf16 compute + bf16 table)",
+        "metric": "MSGIFSR train throughput (yoochoose-1/4 scale, "
+                  "realistic prefix lengths, length-bucketed batches, "
+                  "1 chip, bf16 compute + bf16 table)",
         "value": head["bfloat16_eps"],
         "unit": "examples/sec/chip",
         "vs_baseline": round(head["bfloat16_eps"] / BASELINE_EPS, 3),
