@@ -168,6 +168,12 @@ def test_split_unrolled_runner_end_to_end():
         runner = R.TrainRunner(model, train, test, seed=5, unroll=4,
                                eval_before_train=False)
         results.append(runner.train(2, log_interval=100))
+        # no recompile storm: the split caps are static, so two epochs
+        # compile exactly one fast-path train program (the guarded tail
+        # variant is a separate jitted fn) and one eval program
+        assert runner.train_step._cache_size() == 1
+        assert runner.train_step_guarded._cache_size() <= 1
+        assert runner.eval_step._cache_size() == 1
     (mrr_a, hit_a), (mrr_b, hit_b) = results
     assert abs(mrr_a - mrr_b) < 5e-3
     assert abs(hit_a - hit_b) < 5e-3
