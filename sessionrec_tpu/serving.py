@@ -142,12 +142,18 @@ def make_recommend_step(model, k=20, method="exact", recall_target=0.95,
             if stream:
                 sr, table, phi, alpha, iids, _ = model.head_multi(
                     params, state, batch, training=False, rng=None)
+                # serving slabs are 16x the eval default: the streamed
+                # top-k pays a SORT per slab (counting eval does not),
+                # so fewer/larger slabs win — measured 3.4x at P=2^20
+                # (1,207 -> 4,145 sessions/s going 2048 -> 32768; eval
+                # counting is tile-insensitive, BENCH_NOTES r5)
+                tile = 32768 if model.padded_items >= 32768 else 2048
                 return streamed_multi_topk(
                     sr, table, iids, phi, alpha, num_items=model.num_items,
                     extra=model.extra, fusion=model.fusion, k=k,
                     scale=float(model.scale),
                     normalize_table=getattr(model, "table_norm", False),
-                    compute_dtype=model.cdt)
+                    compute_dtype=model.cdt, tile=tile)
             scores, _ = model.apply(params, state, batch, training=False,
                                     rng=None)
         else:
