@@ -36,9 +36,10 @@ def _add_train_flags(p):
     p.add_argument("--split-len", type=int, default=None,
                    help="length-bucketed batches: examples with prefix "
                         "length <= this compile at a second smaller node "
-                        "cap (same example set per step; 8 is the "
-                        "measured sweet spot on real length "
-                        "distributions); 0/unset disables")
+                        "cap (same example set per step; metric identity "
+                        "tested).  Default 8 (the measured sweet spot on "
+                        "real length distributions, 1.7-2.2x); 0 "
+                        "disables")
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--order", type=int, default=None, help="MSGIFSR order")
     p.add_argument("--reducer", default=None, choices=["mean", "max", "concat"])

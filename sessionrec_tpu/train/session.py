@@ -54,6 +54,13 @@ def make_loaders(cfg, model_name=None, order=1, batch_slice=None):
     kind = {"srgnn": "session", "niser": "session", "lessr": "lessr",
             "msgifsr": "ccs"}[model_name]
     split_len = getattr(cfg, "split_len", None)
+    if split_len and batch_slice is not None:
+        # per-host sub-block caps would disagree with the global batch
+        # layout (loader raises); multi-host runs use single-bucket
+        # batches until the split layout is taught to slice per host
+        log.warning("length-bucketed batches are not supported with "
+                    "multi-host input slicing yet — disabling split_len")
+        split_len = None
     train_loader = BatchLoader(
         train_sessions, kind, cfg.batch_size, max_len,
         shuffle=cfg.shuffle_train, order=order,

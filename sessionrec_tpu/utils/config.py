@@ -23,10 +23,14 @@ class DataConfig:
     max_len: int | None = None    # static node cap; None -> computed from data
     # Length-bucketed batches: examples with prefix length <= split_len
     # compile at a second, smaller static node cap (the same example set
-    # per step — graph/batch.py:SplitBatch).  None/0 disables.  Real
-    # prefix-augmented workloads are short (92% of sample examples are
-    # <= 8 items) so 8 is the measured sweet spot.
-    split_len: int | None = None
+    # per step — graph/batch.py:SplitBatch; metric identity is tested
+    # and confirmed end-to-end, RESULTS.md round 5).  Default ON at 8 —
+    # real prefix-augmented workloads are short (92% of sample examples
+    # are <= 8 items) and the measured training speedups are 1.7-2.2x
+    # (BENCH_NOTES.md round 5).  --split-len 0 disables; automatically
+    # disabled when the data's max length is <= split_len or on
+    # multi-host runs (train/session.py).
+    split_len: int | None = 8
     num_prefetch: int = 2
     use_native_collate: bool = True
 

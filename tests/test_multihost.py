@@ -22,11 +22,16 @@ pytestmark = [pytest.mark.slow, pytest.mark.multihost,
               pytest.mark.skipif(not SAMPLE.is_dir(),
                                 reason="sample dataset not present")]
 
+# --split-len 0: these tests assert exact metric parity between a
+# 1-process and a 2-process run of the SAME math; multi-host input
+# slicing auto-disables length bucketing (train/session.py), so the
+# single-process side must not bucket either (different dropout draw
+# streams would break the exact comparison).
 TRAIN_FLAGS = ["--model", "niser", "--dataset-dir", str(SAMPLE),
                "--embedding-dim", "16", "--num-layers", "1",
                "--epochs", "1", "--max-epoch-batches", "6",
                "--batch-size", "64", "--log-interval", "1000000",
-               "--unroll", "2"]
+               "--unroll", "2", "--split-len", "0"]
 
 
 def _free_port():
@@ -83,7 +88,7 @@ MSGIFSR_FLAGS = ["--model", "msgifsr", "--order", "2", "--extra",
                  "--embedding-dim", "16", "--num-layers", "1",
                  "--epochs", "1", "--max-epoch-batches", "4",
                  "--batch-size", "64", "--log-interval", "1000000",
-                 "--unroll", "2"]
+                 "--unroll", "2", "--split-len", "0"]
 
 
 def test_two_process_msgifsr_renorm_fusion():
