@@ -451,13 +451,17 @@ def main(profile_dir=None, only=None):
     # ratio is an honest same-workload comparison.  The uniform-length
     # unsplit msgifsr-o1 row stays in `configs` for round-over-round
     # continuity.
-    head = (results.get("msgifsr-o1-real-split")
-            or results.get("msgifsr-o1")
-            or next(iter(results.values())))
-    out = {
-        "metric": "MSGIFSR train throughput (yoochoose-1/4 scale, "
+    head = results.get("msgifsr-o1-real-split")
+    if head is not None:
+        metric = ("MSGIFSR train throughput (yoochoose-1/4 scale, "
                   "realistic prefix lengths, length-bucketed batches, "
-                  "1 chip, bf16 compute + bf16 table)",
+                  "1 chip, bf16 compute + bf16 table)")
+    else:
+        head = results.get("msgifsr-o1") or next(iter(results.values()))
+        metric = ("MSGIFSR train throughput (yoochoose-1/4 scale, 1 chip, "
+                  "bf16 compute + bf16 table)")
+    out = {
+        "metric": metric,
         "value": head["bfloat16_eps"],
         "unit": "examples/sec/chip",
         "vs_baseline": round(head["bfloat16_eps"] / BASELINE_EPS, 3),
