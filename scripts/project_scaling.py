@@ -24,9 +24,19 @@ v5e row).  A dp ring laid out along one torus axis rides 2 links
 (both directions) => ring bandwidth BW_ring ~ 9e10 B/s per chip.
 DCN is NOT assumed — the projection is for a single v5e-16 slice.
 
+Round 5: the step is AOT-compiled against a REAL v5e TPU topology by
+default (``jax.experimental.topologies.get_topology_desc`` — needs
+libtpu but no hardware), so the counted HLO carries the TPU backend's
+actual collective dtypes and GSPMD choices.  The earlier CPU-mesh HLO
+promoted every bf16 reduction collective to f32 (a CPU backend
+artifact that overstated ring bytes 2x for the bf16-wire reductions);
+``--cpu`` keeps that path as a fallback for environments without
+libtpu.
+
 Usage:
-  XLA_FLAGS=--xla_force_host_platform_device_count=16 JAX_PLATFORMS=cpu \
-      python scripts/project_scaling.py [--step-ms 3.94] [--dp 8 16] [--mp 2]
+  python scripts/project_scaling.py [--step-ms 3.94] [--dp 8 16] [--mp 2]
+  (add --cpu to force the virtual CPU mesh; then set
+   XLA_FLAGS=--xla_force_host_platform_device_count=16 JAX_PLATFORMS=cpu)
 Prints a markdown table for BENCH_NOTES.md.
 """
 
@@ -41,15 +51,31 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
-from sessionrec_tpu.utils.backend import force_cpu_backend  # noqa: E402
+_USE_CPU = "--cpu" in sys.argv
 
-force_cpu_backend(16)
+if _USE_CPU:
+    from sessionrec_tpu.utils.backend import force_cpu_backend
+    force_cpu_backend(16)
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
 
 BW_LINK = 4.5e10          # B/s one-way per ICI link (v5e, scaling book)
 BW_RING = 2 * BW_LINK     # ring along one torus axis uses both directions
+
+
+def mesh_devices(n):
+    """n devices for the mesh: AOT v5e topology devices by default
+    (real TPU HLO, no hardware needed), the virtual CPU mesh under
+    --cpu."""
+    if _USE_CPU:
+        return jax.devices()[:n]
+    from jax.experimental import topologies
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name="v5e:4x4")
+    devs = list(topo.devices)
+    assert n <= len(devs), (n, len(devs))
+    return devs[:n]
 
 
 def compiled_hlo(dp, mp, batch_per_chip=512, dim=256, order=1,
@@ -92,43 +118,21 @@ def compiled_hlo(dp, mp, batch_per_chip=512, dim=256, order=1,
     params, _ = model.init(jax.random.PRNGKey(0))
     tx = make_optimizer(params, lr=1e-3, weight_decay=1e-4,
                         steps_per_epoch=100)
-    mesh = M.make_mesh(data=dp, model=mp,
-                       devices=jax.devices()[:dp * mp])
-    params, state, opt_state = S.init_sharded(model, tx, mesh,
-                                              jax.random.PRNGKey(0))
-    batch = S.place_batch(mesh, batch)
+    mesh = M.make_mesh(data=dp, model=mp, devices=mesh_devices(dp * mp))
     step = make_train_step(model, tx, fused=True, mesh=mesh)
-    lowered = step.lower(params, state, opt_state, batch,
-                         jax.random.PRNGKey(1))
-    return lowered.compile().as_text()
+    ops = S.abstract_step_operands(mesh, model, tx, batch)
+    return step.lower(*ops).compile().as_text()
 
 
 def collectives(hlo_text, default_n):
     """[(kind, result_bytes, group_size)] — group size parsed from each
     op's replica_groups so model-axis collectives are costed on the
-    model ring, not the data ring."""
-    import test_zero_opt as Z
-    out = []
-    for line in Z._unwrap(hlo_text).splitlines():
-        m = Z._COLL_RE.search(line)
-        if not m:
-            continue
-        shapes, kind = m.group(1), m.group(2)
-        total = 0
-        for dt, dims in Z._SHAPE_RE.findall(shapes):
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
-            total += n * Z._DTYPE_BYTES.get(dt, 4)
-        g = re.search(r"replica_groups=\{\{([0-9, ]+)\}", line)
-        if g:
-            group = len(g.group(1).split(","))
-        else:
-            gi = re.search(r"replica_groups=\[(\d+),(\d+)\]", line)
-            group = int(gi.group(2)) if gi else default_n
-        out.append((kind, total, group))
-    return out
+    model ring, not the data ring.  Dedup/parse logic lives in
+    sessionrec_tpu/utils/hlo.py (TPU async chunking repeats one logical
+    collective many times in the HLO text)."""
+    from sessionrec_tpu.utils.hlo import collective_ops
+    return [(kind, total, group)
+            for kind, total, group, _ in collective_ops(hlo_text, default_n)]
 
 
 def ring_time(kind, result_bytes, n):
@@ -160,6 +164,10 @@ def main():
     ap.add_argument("--split", type=int, default=None,
                     help="compile the length-bucketed (SplitBatch) step "
                          "with this short cap instead of the unsplit one")
+    ap.add_argument("--cpu", action="store_true",
+                    help="count the virtual-CPU-mesh HLO instead of the "
+                         "AOT TPU one (CPU promotes bf16 reduction "
+                         "collectives to f32 — conservative bytes)")
     args = ap.parse_args()
 
     from test_zero_opt import collective_bytes
@@ -169,9 +177,11 @@ def main():
     print("|---|---|---|---|---|---|")
     for dp in args.dp:
         n_dev = dp * args.mp
-        if n_dev > len(jax.devices()):
-            print(f"| {dp} | {args.mp} | needs {n_dev} devices "
-                  f"(have {len(jax.devices())}) | - | - | - |")
+        try:
+            mesh_devices(n_dev)
+        except Exception as e:
+            print(f"| {dp} | {args.mp} | needs {n_dev} devices ({e}) "
+                  f"| - | - | - |")
             continue
         hlo = compiled_hlo(dp, args.mp, order=args.order,
                            split=args.split)

@@ -36,6 +36,17 @@ class RngGen:
         return jax.random.fold_in(self.key, self._i)
 
 
+def embedding_lookup(table, ids, mesh=None):
+    """``table[ids]`` — routed through the explicit shard_map'd lookup
+    when the model is mesh-bound (parallel/lookup.py pins the collective
+    layout GSPMD gets wrong for the gather's backward); the plain gather
+    otherwise.  Callers cast the gathered rows to the compute dtype."""
+    if mesh is None:
+        return table[ids]
+    from sessionrec_tpu.parallel.lookup import sharded_lookup
+    return sharded_lookup(mesh, table, ids)
+
+
 def split_rngs(rng):
     """Two independent per-sub-block keys for a SplitBatch forward (the
     blocks have different shapes, so one shared stream cannot serve

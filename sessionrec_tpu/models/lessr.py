@@ -48,6 +48,9 @@ class LESSR:
     feat_drop: float = 0.0
     compute_dtype: str = "float32"
     table_dtype: str = "float32"
+    # bound by parallel.mesh.with_mesh on sharded runs: routes
+    # embedding gathers through the explicit mesh lookup
+    mesh: object = None
 
     graph_kind = "lessr"
     has_max_norm = True
@@ -131,7 +134,8 @@ class LESSR:
         new_state = {"layers": []}
         # gathered rows always move to the compute dtype (the table itself
         # may be stored bf16 independently of compute_dtype)
-        feats = [params["embedding"][b.node_iid].astype(cdt or jnp.float32)
+        feats = [L.embedding_lookup(params["embedding"], b.node_iid,
+                                    self.mesh).astype(cdt or jnp.float32)
                  for b in parts]
         if cdt is not None:
             parts = [b.replace(sc_adj=b.sc_adj.astype(cdt)) for b in parts]

@@ -55,6 +55,9 @@ class MSGIFSR:
     fusion: bool = False
     compute_dtype: str = "float32"
     table_dtype: str = "float32"
+    # bound by parallel.mesh.with_mesh on sharded runs: routes
+    # embedding gathers through the explicit mesh lookup
+    mesh: object = None
 
     graph_kind = "ccs"
     has_max_norm = True
@@ -137,7 +140,8 @@ class MSGIFSR:
             lv = batch.levels[l - 1]
             # gathered rows always move to the compute dtype (the table
             # itself may be stored bf16 independently of compute_dtype)
-            feat = params["embedding"][lv.iid] \
+            feat = L.embedding_lookup(params["embedding"], lv.iid,
+                                      self.mesh) \
                 .astype(cdt or jnp.float32)                 # [B, Nk, k, d]
             feat = L.dropout(rng, feat, self.feat_drop, training)
             feat = L.semantic_expander_apply(cp["expander"], feat, l,

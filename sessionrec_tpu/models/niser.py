@@ -31,6 +31,9 @@ class NISER:
     readout_on_embedding: bool = True
     compute_dtype: str = "float32"
     table_dtype: str = "float32"
+    # bound by parallel.mesh.with_mesh on sharded runs: routes
+    # embedding gathers through the explicit mesh lookup
+    mesh: object = None
 
     graph_kind = "session"
     has_max_norm = False
@@ -100,7 +103,8 @@ class NISER:
                                                    "fc_sr")}, cdt)
         # gathered rows always move to the compute dtype (the table itself
         # may be stored bf16 independently of compute_dtype)
-        emb = params["embedding"][batch.node_iid].astype(cdt or jnp.float32)
+        emb = L.embedding_lookup(params["embedding"], batch.node_iid,
+                                 self.mesh).astype(cdt or jnp.float32)
         adj = batch.adj if cdt is None else batch.adj.astype(cdt)
         feat = L.dropout(rng, emb, self.feat_drop, training)
         if self.norm:

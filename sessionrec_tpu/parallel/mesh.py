@@ -75,3 +75,13 @@ def chunk_sharding(mesh: Mesh, chunk):
 def replicated(mesh: Mesh, tree):
     return jax.tree_util.tree_map(
         lambda _: NamedSharding(mesh, P()), tree)
+
+
+def with_mesh(model, mesh):
+    """Bind the mesh to the model so its embedding gathers route through
+    the explicit shard_map'd lookup (parallel/lookup.py).  Models carry
+    an optional ``mesh`` field; identity when already bound or no mesh."""
+    import dataclasses
+    if mesh is None or getattr(model, "mesh", None) is mesh:
+        return model
+    return dataclasses.replace(model, mesh=mesh)

@@ -324,6 +324,36 @@ def init_sharded(model, tx, mesh, key):
     return params, state, opt_state
 
 
+def abstract_step_operands(mesh, model, tx, batch):
+    """(params, state, opt_state, batch, rng) as ShapeDtypeStructs with
+    their canonical shardings — for AOT-lowering a train step against a
+    mesh whose devices may not exist (e.g. a
+    ``jax.experimental.topologies`` v5e descriptor: real TPU HLO with
+    the backend's actual collective dtypes, no hardware needed).
+    ``batch`` may hold numpy leaves."""
+    import jax.numpy as _jnp
+    from sessionrec_tpu.parallel.mesh import (batch_sharding,
+                                              param_sharding, replicated)
+
+    params, state = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+    opt_state = jax.eval_shape(tx.init, params)
+
+    def abstract(tree, shardings):
+        return jax.tree.map(
+            lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+            tree, shardings)
+
+    params = abstract(params, param_sharding(mesh, params))
+    state = abstract(state, replicated(mesh, state))
+    opt_state = abstract(opt_state, opt_state_sharding(mesh, opt_state))
+    batch = jax.tree.map(_jnp.asarray, batch)
+    batch = abstract(batch, batch_sharding(mesh, batch))
+    key = jax.eval_shape(lambda: jax.random.PRNGKey(1))
+    key = jax.ShapeDtypeStruct(key.shape, key.dtype,
+                               sharding=NamedSharding(mesh, P()))
+    return params, state, opt_state, batch, key
+
+
 def make_sharded_steps(model, tx, mesh, cutoff=20):
     """(train_step, eval_step) compiled against the mesh.
 
@@ -434,6 +464,8 @@ def split_head_sharded(model, mesh, params, state, batch, *, training,
     time and for EVERY model at eval time (eval BN uses running
     stats, so blocks are independent)."""
     from sessionrec_tpu.models.layers import split_rngs
+    from sessionrec_tpu.parallel.mesh import with_mesh
+    model = with_mesh(model, mesh)
     rs, rl = split_rngs(rng)
     sr_s, _, _ = model.head(params, state, batch.short, training=training,
                             rng=rs)
@@ -452,6 +484,8 @@ def split_head_multi_sharded(model, mesh, params, state, batch, *,
     split_head_sharded): returns (sr, table, phi, alpha, iids, labels,
     valid, new_state) with per-shard row joins."""
     from sessionrec_tpu.models.layers import split_rngs
+    from sessionrec_tpu.parallel.mesh import with_mesh
+    model = with_mesh(model, mesh)
     rs, rl = split_rngs(rng)
     sr_s, _, phi_s, alpha, iids_s, _ = model.head_multi(
         params, state, batch.short, training=training, rng=rs)
@@ -610,6 +644,8 @@ def make_sharded_unrolled_eval_step(model, mesh, cutoff=20, project=True,
     stacked chunk of eval batches, per-batch distributed ranks over the
     catalog shards (head-based counting by default — see
     ``_sharded_eval_ranks``), summed (hit, mrr, n)."""
+    from sessionrec_tpu.parallel.mesh import with_mesh
+    model = with_mesh(model, mesh)
 
     def eval_chunk(params, state, batches):
         if project:
@@ -634,6 +670,8 @@ def make_sharded_unrolled_eval_step(model, mesh, cutoff=20, project=True,
 def make_sharded_eval_step(model, mesh, cutoff=20, rank_method=None):
     """Eval step ranking over the catalog shards (head-based counting by
     default, apply + candidate-merge top-k via ``rank_method="topk"``)."""
+    from sessionrec_tpu.parallel.mesh import with_mesh
+    model = with_mesh(model, mesh)
 
     def eval_step(params, state, batch):
         params = model.project_params(params)

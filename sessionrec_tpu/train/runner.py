@@ -39,6 +39,11 @@ def make_loss_fn(model, state, batch, rng, *, fused=True, mesh=None):
     + nll.
     """
     from sessionrec_tpu.graph.batch import SplitBatch
+    if mesh is not None:
+        # bind the mesh so embedding gathers use the explicit shard_map
+        # lookup (parallel/lookup.py) instead of GSPMD's layout choice
+        from sessionrec_tpu.parallel.mesh import with_mesh
+        model = with_mesh(model, mesh)
     # Mesh + SplitBatch: join the blocks' rows per data shard instead of
     # letting the model's global concat force GSPMD to replicate the
     # graph-side (parallel/sharded.py:shard_concat_rows).  Training-time

@@ -18,49 +18,11 @@ from sessionrec_tpu.parallel import sharded as S
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 devices")
 
-_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
-                "s16": 2, "u16": 2, "pred": 1, "s8": 1, "u8": 1,
-                "f64": 8, "s64": 8}
-
-_COLL_RE = re.compile(
-    r"=\s+(\(?[a-z0-9]+\[[^=]*?)\s+"
-    r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
-    r"all-to-all)(?:-start)?\(")
-_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
-
-
-def _unwrap(hlo_text):
-    """Join HLO continuation lines (long tuple shapes wrap) so each
-    statement is one line; strip /*index=N*/ comments (their '=' breaks
-    the statement regex)."""
-    hlo_text = re.sub(r"/\*.*?\*/", "", hlo_text)
-    out = []
-    for line in hlo_text.splitlines():
-        s = line.strip()
-        if out and not (s.startswith("%") or s.startswith("ROOT")
-                        or s.endswith("{") or s == "}" or s.startswith("HloModule")
-                        or s.startswith("ENTRY")):
-            out[-1] += " " + s
-        else:
-            out.append(s)
-    return "\n".join(out)
-
-
-def collective_bytes(hlo_text):
-    """Result bytes per collective kind, plus per-op shape list."""
-    out, shapes_by_kind = {}, {}
-    for m in _COLL_RE.finditer(_unwrap(hlo_text)):
-        shapes, kind = m.group(1), m.group(2)
-        total = 0
-        for dt, dims in _SHAPE_RE.findall(shapes):
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
-            total += n * _DTYPE_BYTES.get(dt, 4)
-            shapes_by_kind.setdefault(kind, []).append(f"{dt}[{dims}]")
-        out[kind] = out.get(kind, 0) + total
-    return out, shapes_by_kind
+# parsing lives in the package (shared with scripts/project_scaling.py
+# and test_sharded_lookup.py); re-exported here for compatibility
+from sessionrec_tpu.utils.hlo import (_COLL_RE, _DTYPE_BYTES,  # noqa: F401
+                                      _SHAPE_RE, collective_bytes,
+                                      collective_ops, unwrap as _unwrap)
 
 
 def _compiled_train_step(mesh):
