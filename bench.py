@@ -96,18 +96,20 @@ CONFIGS = {
     # lengths="real" samples prefix lengths from the bundled sample
     # dataset's empirical prefix distribution (mean 3.5, median 2, 92%
     # <= 8 items) instead of uniform(1,20) — the uniform draw (mean 10.5)
-    # overstated real node occupancy ~3x.  split=8 additionally buckets
-    # each batch into [B_short, 8] + [B_long, 20] sub-blocks
-    # (graph/batch.py:SplitBatch) — the same example set per step, so
-    # the pair of configs isolates the bucketing speedup at the
-    # realistic distribution.  bf16-only: the split-vs-single comparison
-    # is within one dtype.
+    # overstated real node occupancy ~3x.  split=(4, 8) additionally
+    # buckets each batch into [*, 4] + [*, 8] + [*, 20] tiers (nested
+    # graph/batch.py:SplitBatch; the measured-best tiering,
+    # scripts/probe_split3.py) — the same example set per step, so the
+    # pair of configs isolates the bucketing speedup at the realistic
+    # distribution.  bf16-only: the split-vs-single comparison is
+    # within one dtype.
     "msgifsr-o1-real": dict(model="msgifsr", batch=512, dim=256, layers=1,
                             feat_drop=0.1, order=1, lengths="real",
                             bf16_only=True),
     "msgifsr-o1-real-split": dict(model="msgifsr", batch=512, dim=256,
                                   layers=1, feat_drop=0.1, order=1,
-                                  lengths="real", split=8, bf16_only=True),
+                                  lengths="real", split=(4, 8),
+                                  bf16_only=True),
     "msgifsr-o3-paper-real": dict(model="msgifsr", batch=512, dim=256,
                                   layers=1, feat_drop=0.1, order=3,
                                   extra=True, fusion=True, lengths="real",
@@ -115,12 +117,12 @@ CONFIGS = {
     "msgifsr-o3-paper-real-split": dict(model="msgifsr", batch=512, dim=256,
                                         layers=1, feat_drop=0.1, order=3,
                                         extra=True, fusion=True,
-                                        lengths="real", split=8,
+                                        lengths="real", split=(4, 8),
                                         bf16_only=True),
     "lessr-real": dict(model="lessr", batch=512, dim=32, layers=3,
                        feat_drop=0.2, lengths="real", bf16_only=True),
     "lessr-real-split": dict(model="lessr", batch=512, dim=32, layers=3,
-                             feat_drop=0.2, lengths="real", split=8,
+                             feat_drop=0.2, lengths="real", split=(4, 8),
                              bf16_only=True),
     # eval/serving-only: the WSDM'22 paper head at the P=2^20 design
     # point — exercises the slab-streamed multi-order eval AND serving
@@ -167,7 +169,7 @@ def _wrap_batch(cfg, d_or_kind, seqs, labels, max_len, size):
 
 
 def synthetic_batches(cfg, n_batches, rng):
-    from sessionrec_tpu.graph.batch import SplitBatch
+    from sessionrec_tpu.graph.batch import nest_blocks
     B = cfg["batch"]
     num_items = cfg.get("items", NUM_ITEMS)
     raw = []
@@ -183,21 +185,30 @@ def synthetic_batches(cfg, n_batches, rng):
     if not split:
         return [_wrap_batch(cfg, None, seqs, labels, MAX_LEN, B)
                 for seqs, labels in raw]
-    # split configs: the same per-batch partition + static sub-block caps
-    # the BatchLoader computes (data/loader.py:_split_caps)
-    parts = [([(s, l) for s, l in zip(seqs, labels) if len(s) <= split],
-              [(s, l) for s, l in zip(seqs, labels) if len(s) > split])
-             for seqs, labels in raw]
+    # split configs: the same per-batch tier partition + static tier
+    # caps the BatchLoader computes (data/loader.py:_split_caps);
+    # ``split`` is an int (two tiers) or a threshold tuple (nested
+    # SplitBatch, graph/batch.py)
+    tiers = (split,) if isinstance(split, int) else tuple(split)
+    bounds = list(tiers) + [MAX_LEN]
+    parts = []
+    for seqs, labels in raw:
+        groups = [([], []) for _ in bounds]
+        for s, l in zip(seqs, labels):
+            for gi, hi in enumerate(bounds):
+                if len(s) <= hi:
+                    groups[gi][0].append(s)
+                    groups[gi][1].append(l)
+                    break
+        parts.append(groups)
     rnd = lambda x: max(-(-x // 32) * 32, 32)
-    cap_s = min(rnd(max(len(p[0]) for p in parts)), B)
-    cap_l = min(rnd(max(len(p[1]) for p in parts)), B)
+    caps = [min(rnd(max(len(p[gi][0]) for p in parts)), B)
+            for gi in range(len(bounds))]
     out = []
-    for shorts, longs in parts:
-        out.append(SplitBatch(
-            short=_wrap_batch(cfg, None, [s for s, _ in shorts],
-                              [l for _, l in shorts], split, cap_s),
-            long=_wrap_batch(cfg, None, [s for s, _ in longs],
-                             [l for _, l in longs], MAX_LEN, cap_l)))
+    for groups in parts:
+        out.append(nest_blocks([
+            _wrap_batch(cfg, None, gs, gl, hi, cap)
+            for (gs, gl), hi, cap in zip(groups, bounds, caps)]))
     return out
 
 

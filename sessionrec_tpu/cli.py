@@ -33,13 +33,15 @@ def _add_train_flags(p):
                    help="static per-example node cap; prefixes longer than "
                         "this keep their most recent max-len items "
                         "(default: longest session in the data)")
-    p.add_argument("--split-len", type=int, default=None,
-                   help="length-bucketed batches: examples with prefix "
-                        "length <= this compile at a second smaller node "
-                        "cap (same example set per step; metric identity "
-                        "tested).  Default 8 (the measured sweet spot on "
-                        "real length distributions, 1.7-2.2x); 0 "
-                        "disables")
+    p.add_argument("--split-len", type=str, default=None,
+                   help="length-bucketed batches: comma-separated "
+                        "ascending length thresholds; each adds a tier "
+                        "compiled at its own smaller node cap (same "
+                        "example set per step; metric identity tested). "
+                        "Default '4,8' (measured sweet spot on real "
+                        "length distributions: 1.8-2.3x vs unsplit, "
+                        "+4-16%% vs the single-8 split); a single int "
+                        "gives two tiers; 0 disables")
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--order", type=int, default=None, help="MSGIFSR order")
     p.add_argument("--reducer", default=None, choices=["mean", "max", "concat"])
@@ -108,7 +110,10 @@ def build_config(args):
     if args.max_len is not None:
         d.max_len = args.max_len
     if args.split_len is not None:
-        d.split_len = args.split_len or None
+        ts = tuple(int(t) for t in str(args.split_len).split(",")
+                   if t.strip())
+        ts = tuple(t for t in ts if t > 0)
+        d.split_len = (ts if len(ts) > 1 else (ts[0] if ts else None))
     t.lr = args.lr
     t.epochs = args.epochs
     t.weight_decay = args.weight_decay

@@ -65,13 +65,16 @@ class BatchLoader:
         ``local_batch_slice``).  The epoch order stays the global stream;
         only the built slice is local, so global time-order semantics are
         preserved across data-parallel hosts (README.md:37).
-      split_len: length-bucketed batches — examples with prefix length
-        <= split_len build into a second sub-block at that (smaller)
-        static node cap; each yielded batch is a
-        ``graph.batch.SplitBatch`` holding the SAME example set as the
-        unsplit batch.  Sub-block row caps are computed exactly from
-        the deterministic epoch orders (``_split_caps``).  None/0
-        disables; incompatible with ``batch_slice`` (raises).
+      split_len: length-bucketed batches — an int or an ascending list
+        of ints.  Each threshold adds a tier: examples with prefix
+        length <= the first threshold build at that (smaller) static
+        node cap, lengths in the next (lo, hi] range at the next cap,
+        and so on, the rest at ``max_len``; each yielded batch is a
+        (nested, for >1 threshold) ``graph.batch.SplitBatch`` holding
+        the SAME example set as the unsplit batch.  Tier row caps are
+        computed exactly from the deterministic epoch orders
+        (``_split_caps``).  None/0/empty disables; incompatible with
+        ``batch_slice`` (raises).
     """
 
     def __init__(self, sessions, kind, batch_size, max_len, shuffle=False,
@@ -90,13 +93,18 @@ class BatchLoader:
         self.epoch = 0
         self.batch_slice = batch_slice
         self.split = None
-        if split_len is not None and split_len > 0 and split_len < max_len:
-            if batch_slice is not None:
-                raise ValueError(
-                    "split_len bucketing is not supported together with "
-                    "multi-host batch_slice (per-host sub-block caps would "
-                    "disagree with the global batch layout)")
-            self.split = (int(split_len), *self._split_caps(int(split_len)))
+        if split_len is not None:
+            ts = (split_len,) if np.isscalar(split_len) else tuple(split_len)
+            thresholds = tuple(sorted({int(t) for t in ts
+                                       if 0 < int(t) < max_len}))
+            if thresholds:
+                if batch_slice is not None:
+                    raise ValueError(
+                        "split_len bucketing is not supported together "
+                        "with multi-host batch_slice (per-host sub-block "
+                        "caps would disagree with the global batch layout)")
+                self.split = (thresholds,
+                              self._split_caps(thresholds))
 
     # Epochs whose shuffle orders are scanned when sizing the split
     # sub-blocks.  Orders are a pure function of (seed, epoch)
@@ -105,12 +113,13 @@ class BatchLoader:
     # order, so their caps are exact for any length of run.
     _SPLIT_CAP_EPOCHS = 64
 
-    def _split_caps(self, split_len):
-        """Static (short, long) sub-block row caps.
+    def _split_caps(self, thresholds):
+        """Static per-tier row caps (one per threshold + the final
+        ``max_len`` tier).
 
         Scans the actual epoch orders this loader will produce and takes
-        the exact per-batch maxima of short (len <= split_len after the
-        max_len truncation) and long rows, rounded up for shardability.
+        the exact per-batch maxima of each tier's row count (lengths
+        after the max_len truncation), rounded up for shardability.
         Measured motivation in graph/batch.py:SplitBatch.
         """
         lens = np.minimum(self.index.index[:, 1], self.max_len) \
@@ -118,7 +127,9 @@ class BatchLoader:
         B = self.batch_size
         n = len(lens)
         nb = (n + B - 1) // B
-        max_s = max_l = 0
+        bounds = list(thresholds) + [self.max_len]
+        lows = [0] + list(thresholds)
+        maxes = [0] * len(bounds)
         for epoch in range(self._SPLIT_CAP_EPOCHS if self.shuffle else 1):
             order = np.arange(n)
             if self.shuffle:
@@ -126,18 +137,19 @@ class BatchLoader:
             lp = np.full(nb * B, -1, dtype=np.int64)
             lp[:n] = lens[order]
             lp = lp.reshape(nb, B)
-            ns = ((lp >= 0) & (lp <= split_len)).sum(axis=1)
-            nl = (lp > split_len).sum(axis=1)
-            if nb:
-                max_s = max(max_s, int(ns.max()))
-                max_l = max(max_l, int(nl.max()))
+            if not nb:
+                continue
+            for gi, (lo, hi) in enumerate(zip(lows, bounds)):
+                ng = ((lp > lo) & (lp <= hi)).sum(axis=1) if gi \
+                    else ((lp >= 0) & (lp <= hi)).sum(axis=1)
+                maxes[gi] = max(maxes[gi], int(ng.max()))
         # round up so the batch axis stays shardable over a data axis
         # (any dp dividing the multiple; chunk_sharding shards axis 1)
         mult = 32 if B % 32 == 0 else (8 if B % 8 == 0 else 1)
 
         def cap(x):
             return max(min(-(-x // mult) * mult, B), mult)
-        return cap(max_s), cap(max_l)
+        return tuple(cap(x) for x in maxes)
 
     def set_epoch(self, epoch: int):
         """Pin the shuffle stream to an epoch (deterministic resume: the
@@ -186,33 +198,33 @@ class BatchLoader:
                            local_size, self.order, self.use_native)
 
     def _build_split(self, seqs, labels):
-        """Partition one batch's examples by prefix length into the two
-        statically-capped sub-blocks (graph/batch.py:SplitBatch).  The
-        example set is exactly the unsplit batch's; only row order within
-        the batch permutes (shorts first), which nothing downstream
-        depends on."""
-        split_len, cap_s, cap_l = self.split
-        ss, sl, ls, ll = [], [], [], []
+        """Partition one batch's examples by prefix length into the
+        statically-capped tiers (graph/batch.py:SplitBatch, nested for
+        3+ tiers).  The example set is exactly the unsplit batch's; only
+        row order within the batch permutes (shortest tier first), which
+        nothing downstream depends on."""
+        thresholds, caps = self.split
+        bounds = list(thresholds) + [self.max_len]
+        groups = [([], []) for _ in bounds]
         for s, l in zip(seqs, labels):
-            if len(s) <= split_len:
-                ss.append(s)
-                sl.append(l)
-            else:
-                ls.append(s)
-                ll.append(l)
-        if len(ss) > cap_s or len(ls) > cap_l:
-            raise RuntimeError(
-                f"split sub-block overflow: batch has {len(ss)} short / "
-                f"{len(ls)} long rows vs caps ({cap_s}, {cap_l}) — a "
-                f"shuffled run exceeded the {self._SPLIT_CAP_EPOCHS} "
-                f"epochs the caps were sized for; raise "
-                f"BatchLoader._SPLIT_CAP_EPOCHS or disable split_len")
-        short = _make_batch(self.kind, ss, sl, split_len, cap_s,
-                            self.order, self.use_native)
-        long = _make_batch(self.kind, ls, ll, self.max_len, cap_l,
-                           self.order, self.use_native)
-        from sessionrec_tpu.graph.batch import SplitBatch
-        return SplitBatch(short=short, long=long)
+            for gi, hi in enumerate(bounds):
+                if len(s) <= hi:
+                    groups[gi][0].append(s)
+                    groups[gi][1].append(l)
+                    break
+        for (gs, _), cap, hi in zip(groups, caps, bounds):
+            if len(gs) > cap:
+                raise RuntimeError(
+                    f"split tier overflow: batch has {len(gs)} rows of "
+                    f"length <= {hi} vs cap {cap} — a shuffled run "
+                    f"exceeded the {self._SPLIT_CAP_EPOCHS} epochs the "
+                    f"caps were sized for; raise "
+                    f"BatchLoader._SPLIT_CAP_EPOCHS or disable split_len")
+        from sessionrec_tpu.graph.batch import nest_blocks
+        return nest_blocks([
+            _make_batch(self.kind, gs, gl, hi, cap, self.order,
+                        self.use_native)
+            for (gs, gl), cap, hi in zip(groups, caps, bounds)])
 
     def __iter__(self):
         order = self._epoch_order()

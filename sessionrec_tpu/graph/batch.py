@@ -132,6 +132,15 @@ class SplitBatch:
     Reference analog: DGL sizes each batched graph by its actual
     sessions (collate.py:87-217 — raggedness is the reference's answer
     to this); dense static shapes answer it with two buckets.
+
+    NESTING (round 5): ``short`` may itself be a SplitBatch, giving
+    three or more tiers — e.g. ``SplitBatch(SplitBatch(<=4@4, 5-8@8),
+    >8@20)``.  Every consumer recurses (model heads, the labels/valid
+    views below, the mesh row joins), so the tier count is purely a
+    loader decision.  Measured (scripts/probe_split3.py, TPU v5e,
+    realistic lengths): tiers (4, 8) beat the single 8 split by 1.16x
+    on the order-3 paper config and 1.04x on order-1; a fourth tier
+    adds nothing.
     """
 
     short: "object"   # batch pytree (Session/Lessr/Ccs) at the short caps
@@ -148,3 +157,20 @@ class SplitBatch:
     @property
     def order(self) -> int:
         return self.long.order
+
+
+def flatten_blocks(batch):
+    """Leaf blocks of a (possibly nested) SplitBatch, shortest tier
+    first; ``[batch]`` for an unsplit batch."""
+    if isinstance(batch, SplitBatch):
+        return flatten_blocks(batch.short) + flatten_blocks(batch.long)
+    return [batch]
+
+
+def nest_blocks(blocks):
+    """Left-nested SplitBatch over ``blocks`` (inverse of
+    ``flatten_blocks``); identity for a single block."""
+    nested = blocks[0]
+    for b in blocks[1:]:
+        nested = SplitBatch(short=nested, long=b)
+    return nested

@@ -47,6 +47,20 @@ def embedding_lookup(table, ids, mesh=None):
     return sharded_lookup(mesh, table, ids)
 
 
+def split_parts_rngs(batch, rng):
+    """Flatten a (possibly nested) SplitBatch into leaf blocks plus one
+    independent key per block, derived along the same recursive
+    ``split_rngs`` tree the recursive model heads use — at depth 1 this
+    reproduces the two-tier derivation exactly."""
+    from sessionrec_tpu.graph.batch import SplitBatch
+    if not isinstance(batch, SplitBatch):
+        return [batch], [rng]
+    rs, rl = split_rngs(rng)
+    ps, ks = split_parts_rngs(batch.short, rs)
+    pl, kl = split_parts_rngs(batch.long, rl)
+    return ps + pl, ks + kl
+
+
 def split_rngs(rng):
     """Two independent per-sub-block keys for a SplitBatch forward (the
     blocks have different shapes, so one shared stream cannot serve

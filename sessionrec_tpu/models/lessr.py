@@ -116,15 +116,8 @@ class LESSR:
         running-stat updates) up to float summation order, unlike a
         naive per-block forward whose BN would see different batches.
         """
-        from sessionrec_tpu.graph.batch import SplitBatch
-        if isinstance(batch, SplitBatch):
-            rs, rl = L.split_rngs(rng)
-            parts = [batch.short, batch.long]
-            rngs = [L.RngGen(rs) if rs is not None else None,
-                    L.RngGen(rl) if rl is not None else None]
-        else:
-            parts = [batch]
-            rngs = [L.RngGen(rng) if rng is not None else None]
+        parts, keys = L.split_parts_rngs(batch, rng)
+        rngs = [L.RngGen(k) if k is not None else None for k in keys]
         return self._head_parts(params, state, parts, rngs, training)
 
     def _head_parts(self, params, state, parts, rngs, training):

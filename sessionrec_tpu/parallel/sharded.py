@@ -457,52 +457,56 @@ def shard_concat_rows(mesh, pieces):
 
 def split_head_sharded(model, mesh, params, state, batch, *, training,
                        rng):
-    """(sr, table, labels, valid, new_state) for a SplitBatch on the
-    mesh: the graph-side runs once per length block and the session
-    vectors join with ``shard_concat_rows`` instead of the model's
-    global concat (see there).  Valid for BN-free models at training
-    time and for EVERY model at eval time (eval BN uses running
-    stats, so blocks are independent)."""
-    from sessionrec_tpu.models.layers import split_rngs
+    """(sr, table, labels, valid, new_state) for a (possibly nested)
+    SplitBatch on the mesh: the graph-side runs once per length tier
+    and the session vectors join with ``shard_concat_rows`` instead of
+    the model's global concat (see there).  Valid for BN-free models at
+    training time and for EVERY model at eval time (eval BN uses
+    running stats, so blocks are independent)."""
+    from sessionrec_tpu.models.layers import split_parts_rngs
     from sessionrec_tpu.parallel.mesh import with_mesh
     model = with_mesh(model, mesh)
-    rs, rl = split_rngs(rng)
-    sr_s, _, _ = model.head(params, state, batch.short, training=training,
-                            rng=rs)
-    sr_l, table, new_state = model.head(params, state, batch.long,
-                                        training=training, rng=rl)
-    sr = shard_concat_rows(mesh, [sr_s, sr_l])
-    labels = shard_concat_rows(mesh, [batch.short.labels.astype(jnp.int32),
-                                      batch.long.labels.astype(jnp.int32)])
-    valid = shard_concat_rows(mesh, [batch.short.valid, batch.long.valid])
+    parts, keys = split_parts_rngs(batch, rng)
+    srs = []
+    table = new_state = None
+    for part, key in zip(parts, keys):
+        sr_p, table, new_state = model.head(params, state, part,
+                                            training=training, rng=key)
+        srs.append(sr_p)
+    sr = shard_concat_rows(mesh, srs)
+    labels = shard_concat_rows(
+        mesh, [p.labels.astype(jnp.int32) for p in parts])
+    valid = shard_concat_rows(mesh, [p.valid for p in parts])
     return sr, table, labels, valid, new_state
 
 
 def split_head_multi_sharded(model, mesh, params, state, batch, *,
                              training, rng):
-    """Mesh SplitBatch form of ``model.head_multi`` (see
-    split_head_sharded): returns (sr, table, phi, alpha, iids, labels,
-    valid, new_state) with per-shard row joins."""
-    from sessionrec_tpu.models.layers import split_rngs
+    """Mesh (possibly nested) SplitBatch form of ``model.head_multi``
+    (see split_head_sharded): returns (sr, table, phi, alpha, iids,
+    labels, valid, new_state) with per-shard row joins; tiers'
+    narrower id rows pad with -1 to the widest tier."""
+    from sessionrec_tpu.models.layers import split_parts_rngs
     from sessionrec_tpu.parallel.mesh import with_mesh
     model = with_mesh(model, mesh)
-    rs, rl = split_rngs(rng)
-    sr_s, _, phi_s, alpha, iids_s, _ = model.head_multi(
-        params, state, batch.short, training=training, rng=rs)
-    sr_l, table, phi_l, alpha, iids_l, new_state = model.head_multi(
-        params, state, batch.long, training=training, rng=rl)
-    sr = shard_concat_rows(mesh, [sr_s, sr_l])
-    w = max(iids_s.shape[1], iids_l.shape[1])
+    parts, keys = split_parts_rngs(batch, rng)
+    srs, phis, iids_p = [], [], []
+    table = alpha = new_state = None
+    for part, key in zip(parts, keys):
+        sr_p, table, phi_p, alpha, iid_p, new_state = model.head_multi(
+            params, state, part, training=training, rng=key)
+        srs.append(sr_p)
+        phis.append(phi_p)
+        iids_p.append(iid_p)
+    sr = shard_concat_rows(mesh, srs)
+    w = max(x.shape[1] for x in iids_p)
     iids = shard_concat_rows(mesh, [
-        jnp.pad(iids_s, ((0, 0), (0, w - iids_s.shape[1])),
-                constant_values=-1),
-        jnp.pad(iids_l, ((0, 0), (0, w - iids_l.shape[1])),
-                constant_values=-1)])
-    phi = None if phi_s is None else shard_concat_rows(mesh,
-                                                       [phi_s, phi_l])
-    labels = shard_concat_rows(mesh, [batch.short.labels.astype(jnp.int32),
-                                      batch.long.labels.astype(jnp.int32)])
-    valid = shard_concat_rows(mesh, [batch.short.valid, batch.long.valid])
+        jnp.pad(x, ((0, 0), (0, w - x.shape[1])), constant_values=-1)
+        for x in iids_p])
+    phi = None if phis[0] is None else shard_concat_rows(mesh, phis)
+    labels = shard_concat_rows(
+        mesh, [p.labels.astype(jnp.int32) for p in parts])
+    valid = shard_concat_rows(mesh, [p.valid for p in parts])
     return sr, table, phi, alpha, iids, labels, valid, new_state
 
 

@@ -72,9 +72,9 @@ def make_loaders(cfg, model_name=None, order=1, batch_slice=None):
         use_native=cfg.use_native_collate, batch_slice=batch_slice,
         split_len=split_len)
     if train_loader.split is not None:
-        log.info("length-bucketed batches: split_len=%d, sub-block caps "
+        log.info("length-bucketed batches: split_len=%s, tier caps "
                  "train=%s test=%s", train_loader.split[0],
-                 train_loader.split[1:], test_loader.split[1:]
+                 train_loader.split[1], test_loader.split[1]
                  if test_loader.split else None)
     return train_loader, test_loader, num_items, max_len
 

@@ -21,16 +21,19 @@ class DataConfig:
     shuffle_train: bool = False   # ordered stream (README.md:37)
     valid_split: float | None = None
     max_len: int | None = None    # static node cap; None -> computed from data
-    # Length-bucketed batches: examples with prefix length <= split_len
-    # compile at a second, smaller static node cap (the same example set
-    # per step — graph/batch.py:SplitBatch; metric identity is tested
-    # and confirmed end-to-end, RESULTS.md round 5).  Default ON at 8 —
-    # real prefix-augmented workloads are short (92% of sample examples
-    # are <= 8 items) and the measured training speedups are 1.7-2.2x
-    # (BENCH_NOTES.md round 5).  --split-len 0 disables; automatically
-    # disabled when the data's max length is <= split_len or on
-    # multi-host runs (train/session.py).
-    split_len: int | None = 8
+    # Length-bucketed batches: each threshold adds a tier of examples
+    # (by prefix length) compiled at its own smaller static node cap
+    # (the same example set per step — graph/batch.py:SplitBatch;
+    # metric identity is tested and confirmed end-to-end, RESULTS.md
+    # round 5).  Default ON at (4, 8) — real prefix-augmented workloads
+    # are short (92% of sample examples are <= 8 items, median 2) and
+    # the measured training speedups are 1.8-2.3x vs unsplit, with the
+    # 4-tier beating the single 8 split by 16% on the order-3 paper
+    # config (BENCH_NOTES.md round 5, scripts/probe_split3.py).
+    # --split-len 0 disables; thresholds >= the data's max length drop
+    # out automatically; disabled on multi-host runs
+    # (train/session.py).
+    split_len: int | tuple | None = (4, 8)
     num_prefetch: int = 2
     use_native_collate: bool = True
 

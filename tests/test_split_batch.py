@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from sessionrec_tpu.data.loader import BatchLoader
-from sessionrec_tpu.graph.batch import SplitBatch
+from sessionrec_tpu.graph.batch import SplitBatch, flatten_blocks
 from sessionrec_tpu.models import LESSR, MSGIFSR, NISER, SRGNN
 from sessionrec_tpu.train import runner as R
 
@@ -43,27 +43,49 @@ def _perm(plain_batch_ids, lens, split_len):
     return short + long
 
 
+def _rows(batch):
+    """(label, node-count) multiset of one leaf block."""
+    v = np.asarray(batch.valid).astype(bool)
+    lbl = np.asarray(batch.labels)[v]
+    ln = np.asarray(batch.node_mask).sum(1)[v]
+    return sorted(zip(lbl.tolist(), ln.tolist()))
+
+
 def test_loader_split_invariants():
     plain, split = _loaders("session")
     assert split.split is not None
-    sl, cs, cl = split.split
+    (sl,), (cs, cl) = split.split
     assert sl == 6 and cs % 8 == 0 and cl % 8 == 0
     n_plain = n_split = 0
     for pb, sb in zip(plain, split):
         assert isinstance(sb, SplitBatch)
         # same example set: the (sorted) multiset of (label, len) pairs
-        def rows(batch):
-            v = np.asarray(batch.valid).astype(bool)
-            lbl = np.asarray(batch.labels)[v]
-            ln = np.asarray(batch.node_mask).sum(1)[v]
-            return sorted(zip(lbl.tolist(), ln.tolist()))
-        got = sorted(rows(sb.short) + rows(sb.long))
-        assert got == rows(pb)
+        got = sorted(_rows(sb.short) + _rows(sb.long))
+        assert got == _rows(pb)
         # short block really is capped short
         assert np.asarray(sb.short.node_mask).shape[1] == sl
         n_plain += int(np.asarray(pb.valid).sum())
         n_split += int(np.asarray(sb.valid).sum())
     assert n_plain == n_split == plain.num_examples
+
+
+def test_loader_three_tier_invariants():
+    """split_len as a threshold list builds a NESTED SplitBatch whose
+    leaf tiers partition the batch by length at per-tier node caps."""
+    plain, split = _loaders("session", split_len=(3, 6))
+    thresholds, caps = split.split
+    assert thresholds == (3, 6) and len(caps) == 3
+    for pb, sb in zip(plain, split):
+        leaves = flatten_blocks(sb)
+        assert len(leaves) == 3
+        assert [np.asarray(b.node_mask).shape[1] for b in leaves] \
+            == [3, 6, 12]
+        got = sorted(sum((_rows(b) for b in leaves), []))
+        assert got == _rows(pb)
+        # tiers really partition by length
+        for b, hi in zip(leaves, (3, 6, 12)):
+            v = np.asarray(b.valid).astype(bool)
+            assert (np.asarray(b.node_mask).sum(1)[v] <= hi).all()
 
 
 def test_loader_split_shuffled_caps_cover_epochs():
@@ -90,11 +112,14 @@ def test_loader_split_shuffled_caps_cover_epochs():
                        batch_norm=True, feat_drop=0.0), "lessr", 1,
                  marks=pytest.mark.slow),
 ])
-def test_split_train_loss_and_grads_match(name, model, kind, order):
+@pytest.mark.parametrize("split_len", [6, (3, 6)])
+def test_split_train_loss_and_grads_match(name, model, kind, order,
+                                          split_len):
     """Per-batch training loss and embedding gradient match the unsplit
     path (exact example set; LESSR joint-BN makes its stats identical
-    up to float summation order)."""
-    plain, split = _loaders(kind, order=order)
+    up to float summation order) — for both the two-tier and the nested
+    three-tier split."""
+    plain, split = _loaders(kind, order=order, split_len=split_len)
     params, state = model.init(jax.random.PRNGKey(0))
     params = model.project_params(params)
     rng = jax.random.PRNGKey(7)
@@ -130,11 +155,12 @@ def test_split_train_loss_and_grads_match(name, model, kind, order):
     ("lessr", LESSR(num_items=60, embedding_dim=16, num_layers=3,
                     batch_norm=True, feat_drop=0.0), "lessr", 1),
 ])
-def test_split_eval_ranks_match(name, model, kind, order):
+@pytest.mark.parametrize("split_len", [6, (3, 6)])
+def test_split_eval_ranks_match(name, model, kind, order, split_len):
     """Eval label ranks are identical per example (eval-mode BN uses
     running stats, so even LESSR is exact up to the row permutation)."""
     sessions = _sessions()
-    plain, split = _loaders(kind, order=order)
+    plain, split = _loaders(kind, order=order, split_len=split_len)
     params, state = model.init(jax.random.PRNGKey(1))
     params = model.project_params(params)
 
@@ -190,10 +216,12 @@ def test_split_mesh_train_and_eval_match_single_device():
 
     model = MSGIFSR(num_items=60, embedding_dim=16, num_layers=1,
                     order=2, extra=True, fusion=True, feat_drop=0.0)
-    # caps must divide dp=4: batch 32 -> mult 8 caps
+    # caps must divide dp=4: batch 32 -> mult 8 caps.  Three tiers: the
+    # mesh row joins flatten the nested SplitBatch
+    # (parallel/sharded.py:split_head_multi_sharded)
     sessions = _sessions(n=60)
     loader = BatchLoader(sessions, "ccs", 32, 12, order=2, prefetch=0,
-                         use_native=False, split_len=6)
+                         use_native=False, split_len=(3, 6))
     batch = next(iter(loader))
     params, state = model.init(jax.random.PRNGKey(2))
     params = model.project_params(params)
