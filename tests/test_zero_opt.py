@@ -4,8 +4,6 @@ table's Adam moments shard over both mesh axes.  Verified on the compiled
 HLO of the mesh train step: a reduce-scatter exists, and total collective
 bytes drop vs. the forced all-reduce layout."""
 
-import re
-
 import numpy as np
 import pytest
 
