@@ -119,6 +119,16 @@ CONFIGS = {
                                         extra=True, fusion=True,
                                         lengths="real", split=(4, 8),
                                         bf16_only=True),
+    # throughput mode at the REAL workload: with the graph side
+    # op-latency bound (probe_o1_floor), a 4x batch amortises the op
+    # chain that uniform-length b2048 could not (its [2048, 20] slots
+    # saturate the chip instead: 121.8k eps).  B=4096 continues to
+    # 361k (probe), but 2048 keeps the row comparable to the uniform
+    # b2048 one.
+    "msgifsr-o1-real-split-b2048": dict(model="msgifsr", batch=2048,
+                                        dim=256, layers=1, feat_drop=0.1,
+                                        order=1, lengths="real",
+                                        split=(4, 8), bf16_only=True),
     "lessr-real": dict(model="lessr", batch=512, dim=32, layers=3,
                        feat_drop=0.2, lengths="real", bf16_only=True),
     "lessr-real-split": dict(model="lessr", batch=512, dim=32, layers=3,
