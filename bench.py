@@ -129,6 +129,14 @@ CONFIGS = {
                                         dim=256, layers=1, feat_drop=0.1,
                                         order=1, lengths="real",
                                         split=(4, 8), bf16_only=True),
+    # the WSDM'22 paper head in throughput mode — needs the row-chunked
+    # multi loss (ops/xent_multi.py: the kernel's vmem stack caps K*B)
+    "msgifsr-o3-paper-real-split-b2048": dict(model="msgifsr", batch=2048,
+                                              dim=256, layers=1,
+                                              feat_drop=0.1, order=3,
+                                              extra=True, fusion=True,
+                                              lengths="real", split=(4, 8),
+                                              bf16_only=True),
     "lessr-real": dict(model="lessr", batch=512, dim=32, layers=3,
                        feat_drop=0.2, lengths="real", bf16_only=True),
     "lessr-real-split": dict(model="lessr", batch=512, dim=32, layers=3,

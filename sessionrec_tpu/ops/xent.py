@@ -420,6 +420,22 @@ def reference_xent(sr, table, labels, *, scale: float, num_items: int,
                                 axis=-1)[:, 0]
 
 
+# Max batch rows per Pallas kernel invocation.  The kernel keeps all B
+# rows resident while streaming the catalog, and its per-row stack
+# buffers live in scoped vmem (16 MB): measured on v5e at d=256 /
+# P=37k, 4256 rows compile and 8416 rows die with a vmem-stack OOM
+# (~2 KB/row).  Larger batches chunk over rows OUTSIDE the kernel —
+# per-row losses are independent, so chunking is exact, and equal-sized
+# chunks keep it to one compiled kernel shape.
+MAX_KERNEL_ROWS = 4096
+
+
+def _row_chunks(n, max_rows):
+    """(n_chunks, chunk_size) with equal chunks covering >= n rows."""
+    nc = -(-n // max_rows)
+    return nc, -(-n // nc)
+
+
 def fused_nll_loss(sr, table, labels, valid, *, scale: float, num_items: int,
                    normalize_table: bool = False,
                    use_pallas: bool | None = None):
@@ -432,7 +448,19 @@ def fused_nll_loss(sr, table, labels, valid, *, scale: float, num_items: int,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     fn = catalog_xent if use_pallas else reference_xent
-    per_row = fn(sr, table, labels, scale=scale, num_items=num_items,
-                 normalize_table=normalize_table)
+    B = sr.shape[0]
+    if B > MAX_KERNEL_ROWS:
+        nc, cs = _row_chunks(B, MAX_KERNEL_ROWS)
+        pad = nc * cs - B
+        srp = jnp.pad(sr, ((0, pad), (0, 0)))
+        lblp = jnp.pad(labels, (0, pad))
+        per_row = jnp.concatenate([
+            fn(srp[i * cs:(i + 1) * cs], table, lblp[i * cs:(i + 1) * cs],
+               scale=scale, num_items=num_items,
+               normalize_table=normalize_table)
+            for i in range(nc)])[:B]
+    else:
+        per_row = fn(sr, table, labels, scale=scale, num_items=num_items,
+                     normalize_table=normalize_table)
     v = valid.astype(per_row.dtype)
     return jnp.sum(per_row * v) / jnp.maximum(jnp.sum(v), 1.0)

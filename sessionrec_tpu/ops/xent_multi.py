@@ -403,14 +403,35 @@ def multi_nll_loss(sr, table, labels, valid, iids, phi, alpha, *,
     sr3 = jnp.swapaxes(sr, 0, 1)                               # [K, B, D]
     labels = labels.astype(jnp.int32)
     iids = iids.astype(jnp.int32)
+    K, B = sr3.shape[0], sr3.shape[1]
+    from sessionrec_tpu.ops.xent import MAX_KERNEL_ROWS, _row_chunks
     if use_pallas:
-        zl, lse_in, lse_ex = _catalog_multi_stats(
-            sr3, table, labels, iids, float(scale), int(num_items),
-            bool(normalize_table), int(iids.shape[1]))
+        def stats(sr3, labels, iids):
+            return _catalog_multi_stats(
+                sr3, table, labels, iids, float(scale), int(num_items),
+                bool(normalize_table), int(iids.shape[1]))
     else:
-        zl, lse_in, lse_ex = reference_multi_stats(
-            sr3, table, labels, iids, scale=scale, num_items=num_items,
-            normalize_table=normalize_table)
+        def stats(sr3, labels, iids):
+            return reference_multi_stats(
+                sr3, table, labels, iids, scale=scale, num_items=num_items,
+                normalize_table=normalize_table)
+    if K * B > MAX_KERNEL_ROWS:
+        # the multi kernel's vmem-stack rows scale with K*B (see
+        # xent.MAX_KERNEL_ROWS), but its backward also carries [K*B, d]
+        # f32 accumulators on the stack — measured: K=3 chunks of 1072
+        # rows still overshoot the 16M scoped vmem by 1.2M, 768 fits
+        nc, cs = _row_chunks(B, max(min(MAX_KERNEL_ROWS // K, 768), 256))
+        pad = nc * cs - B
+        sr3p = jnp.pad(sr3, ((0, 0), (0, pad), (0, 0)))
+        lblp = jnp.pad(labels, (0, pad))
+        iidp = jnp.pad(iids, ((0, pad), (0, 0)), constant_values=-1)
+        outs = [stats(sr3p[:, i * cs:(i + 1) * cs],
+                      lblp[i * cs:(i + 1) * cs],
+                      iidp[i * cs:(i + 1) * cs]) for i in range(nc)]
+        zl, lse_in, lse_ex = (jnp.concatenate(x, axis=1)[:, :B]
+                              for x in zip(*outs))
+    else:
+        zl, lse_in, lse_ex = stats(sr3, labels, iids)
     lbl_in = jnp.any(iids == labels[:, None], axis=1)
     per_row = combine_stats(zl, lse_in, lse_ex, phi, alpha, lbl_in,
                             extra=extra, fusion=fusion)
