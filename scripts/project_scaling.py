@@ -102,13 +102,23 @@ def compiled_hlo(dp, mp, batch_per_chip=512, dim=256, order=1,
                         labels=d["labels"], valid=d["valid"])
     if split:
         # length-bucketed batch at the realistic caps the bench measured
-        # (B_short = B, B_long = B/4 covers the observed long counts)
-        from sessionrec_tpu.graph.batch import SplitBatch
-        ss = [(x, l) for x, l in zip(seqs, labels) if len(x) <= split]
-        ls = [(x, l) for x, l in zip(seqs, labels) if len(x) > split]
-        batch = SplitBatch(
-            short=mk([x for x, _ in ss], [l for _, l in ss], split, B),
-            long=mk([x for x, _ in ls], [l for _, l in ls], 20, B // 4))
+        # (tier caps ~ (3/4 B, B/4, B/8) at the (4, 8) default); --split
+        # takes one threshold or a comma list, e.g. "4,8"
+        from sessionrec_tpu.graph.batch import nest_blocks
+        tiers = [int(t) for t in str(split).split(",")]
+        bounds = tiers + [20]
+        caps = [max(B >> (2 * i), 32) for i in range(len(bounds))]
+        caps[0] = B
+        groups = [([], []) for _ in bounds]
+        for x, l in zip(seqs, labels):
+            for gi, hi in enumerate(bounds):
+                if len(x) <= hi:
+                    groups[gi][0].append(x)
+                    groups[gi][1].append(l)
+                    break
+        batch = nest_blocks([mk(gs, gl, hi, cap)
+                             for (gs, gl), hi, cap
+                             in zip(groups, bounds, caps)])
     else:
         batch = mk(seqs, labels, 20, B)
 
@@ -161,9 +171,10 @@ def main():
     ap.add_argument("--dp", type=int, nargs="+", default=[8, 16])
     ap.add_argument("--mp", type=int, default=1)
     ap.add_argument("--order", type=int, default=1)
-    ap.add_argument("--split", type=int, default=None,
-                    help="compile the length-bucketed (SplitBatch) step "
-                         "with this short cap instead of the unsplit one")
+    ap.add_argument("--split", type=str, default=None,
+                    help="compile the length-bucketed (SplitBatch) step: "
+                         "one threshold or a comma list (e.g. '4,8', the "
+                         "production default) instead of the unsplit one")
     ap.add_argument("--cpu", action="store_true",
                     help="count the virtual-CPU-mesh HLO instead of the "
                          "AOT TPU one (CPU promotes bf16 reduction "

@@ -25,13 +25,20 @@ The explicit path pins both sides:
   rows divide dp, psum otherwise).  No batch-sized tensor crosses the
   wire.
 
-Dense-vs-sparse choice (static, from trace-time shapes): the dense
-backward moves ``rows/mp * d * itemsize(table)`` bytes over the data
-ring, GSPMD's sparse update-gather moves ``ids.size * d * 4`` — for
-serving-scale catalogs (e.g. P=2^20 with a [4096, 20] id block) the
-sparse gather is far cheaper, so ``sharded_lookup`` falls back to the
-plain gather unless the dense wire wins.  See
-``tests/test_sharded_lookup.py`` for the byte-count evidence.
+Dense looks expensive in isolation (a ``[rows/mp, d]`` buffer per
+site vs GSPMD's sparse ``ids.size * d`` update gather — far smaller at
+serving-scale catalogs), but in TRAINING the fused CE loss already
+reduces a dense table gradient every step, and XLA merges same-shaped
+reductions: measured on TPU-AOT HLO at BOTH geometries, the dense
+lookup cotangents fold into that existing collective for ZERO marginal
+wire (o1/37k: three reduce-scatters merged into one bf16
+``[2336,256]``; niser-1m/2^20: the 68.7 MB table all-reduce unchanged
+while 10.8 MB of update/id gathers disappear).  A size-based fallback
+(shipped briefly) therefore only ever LOST bytes — e.g. the (4, 8)
+tier blocks whose ids are individually small fell back and re-grew
+5-7 MB of gathers per step — so the only remaining fallbacks are
+structural (single data shard, non-divisible shapes).  Byte-count
+evidence: ``tests/test_sharded_lookup.py``, BENCH_NOTES round 5.
 """
 
 from __future__ import annotations
@@ -54,18 +61,14 @@ def sharded_lookup(mesh, table, ids):
     ``table [rows, d]`` row-sharded over ``model``; ``ids [B, ...]``
     (any rank >= 1) sharded over ``data`` on axis 0.  Returns
     ``[B, ..., d]`` data-sharded rows in the table dtype.  Falls back to
-    the plain gather whenever the explicit path's static preconditions
-    don't hold or its dense backward would move more bytes than GSPMD's
-    sparse one.
+    the plain gather only when the explicit path's structural
+    preconditions don't hold (single data shard, shapes that don't
+    divide the mesh).
     """
     dp = mesh.shape[DATA_AXIS]
     mp = mesh.shape[MODEL_AXIS]
     if (dp <= 1 or ids.ndim < 1 or ids.shape[0] % dp
             or table.shape[0] % mp):
-        return table[ids]
-    ploc = table.shape[0] // mp
-    # dense table-grad wire (table dtype) vs sparse f32 update gather
-    if ploc * table.dtype.itemsize >= ids.size * 4:
         return table[ids]
     return _dense_lookup(mesh, table, ids)
 
